@@ -1,0 +1,71 @@
+"""Streaming file -> file model quantization (reference rwkv_quantize.inc:16-171).
+
+Quantizes only 2-D FP32/FP16 tensors, excluding the embedding, head, and the v7
+low-rank/bonus tensors (rwkv_tensor_needs_quant, rwkv_quantize.inc:1-13).
+The output header version is forced to 101 (rwkv_quantize.inc:51-53).
+Bit-exact with ggml_quantize_chunk (verified against the committed Q5 fixtures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rwkv_tpu.formats import container, quant
+from rwkv_tpu.runtime.errors import RWKVArgsError, RWKVDataTypeError
+
+
+def tensor_needs_quant(name: str) -> bool:
+    if name in ("emb.weight", "head.weight"):
+        return False
+    for sub in ("att.v1", "att.v2", "att.g1", "att.g2",
+                "att.a1", "att.a2", "att.w1", "att.w2", "att.r_k"):
+        if sub in name:
+            return False
+    return True
+
+
+def quantize_model_file(in_path: str, out_path: str, format_name: str, verbose: bool = False) -> None:
+    if format_name not in quant.QUANT_FORMATS:
+        raise RWKVArgsError(f"Unsupported output data type ({format_name})")
+
+    header = container.read_model_header(in_path)
+    if header.data_type_name not in ("FP32", "FP16"):
+        raise RWKVDataTypeError(
+            f"Unsupported input data type ({header.data_type_name}); needs to be FP32 or FP16"
+        )
+
+    out_header = container.RWKVFileHeader(
+        magic=header.magic,
+        version=container.FILE_VERSION_1,
+        n_vocab=header.n_vocab,
+        n_embed=header.n_embed,
+        n_layer=header.n_layer,
+        data_type=container.TYPE_INDEX[format_name],
+    )
+
+    orig_total = 0
+    new_total = 0
+    with open(out_path, "wb") as out_f:
+        out_f.write(out_header.pack())
+        for _, rec in container.iter_tensor_records(in_path):
+            orig_size = len(rec.data)
+            if (
+                rec.type_name in ("FP32", "FP16")
+                and len(rec.dims) == 2
+                and tensor_needs_quant(rec.name)
+            ):
+                f32 = rec.to_float32()
+                data = quant.quantize(format_name, np.ascontiguousarray(f32))
+                rec = container.RWKVTensorRecord(
+                    name=rec.name, dims=rec.dims, type_name=format_name, data=data
+                )
+                if verbose:
+                    print(f"{rec.name}: {rec.dims} -> {format_name} "
+                          f"{orig_size/1e6:.2f}MB -> {len(rec.data)/1e6:.2f}MB")
+            container.write_tensor_record(out_f, rec)
+            orig_total += orig_size
+            new_total += len(rec.data)
+    if verbose:
+        print(f"original size     = {orig_total / 1024 / 1024:8.2f} MB")
+        print(f"quantized size    = {new_total / 1024 / 1024:8.2f} MB")
+        print(f"compression ratio = {orig_total / new_total:8.2f}")

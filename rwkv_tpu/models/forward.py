@@ -1,0 +1,305 @@
+"""Pure-functional RWKV forward pass (all versions), jit-compilable.
+
+One code path serves both eval modes of the reference:
+  - serial (RNN) mode  = T=1 (reference rwkv_build_serial_graph, rwkv_graph.inc:611-739)
+  - sequence mode      = T>1 with logits from the last *valid* token
+    (rwkv_build_sequential_graph, rwkv_graph.inc:744-882)
+
+Instead of the reference's graph-rebuild-per-sequence-length
+(rwkv_eval.inc:112-120), T is a static (bucketed) shape and `length` a dynamic
+arg; tokens at positions >= length are padding whose state updates are masked
+out inside the wkv scans, so chunked-prefill == serial exactly.
+
+Layers run under lax.scan over stacked layer params (single compiled block
+regardless of depth). The v7 cross-layer value-residual (v_first) and the
+layer-0 specialization are carried explicitly (SURVEY.md §7 hard part 5).
+
+Recurrent state is an explicit pytree owned by the caller — RWKV's analogue of
+a KV cache (reference externalizes it as a user FP32 buffer, rwkv.h:106-108).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_tpu.models.params import ModelConfig
+from rwkv_tpu.ops import wkv as wkv_ops
+from rwkv_tpu.ops.linear import matmul
+from rwkv_tpu.ops.norm import group_norm_heads, l2_norm_rows, layer_norm
+
+
+# ---------------------------------------------------------------------------
+# state pytree
+# ---------------------------------------------------------------------------
+
+def init_state(cfg: ModelConfig):
+    """Zero state; v4 pp slots get -1e30 (rwkv_eval.inc:224-241 — a zeroed v4
+    state is documented UB in the reference, rwkv.h:197-199)."""
+    L, E = cfg.n_layer, cfg.n_embed
+    if cfg.version_major == 4:
+        return {
+            "ffn_xx": jnp.zeros((L, E), jnp.float32),
+            "att_xx": jnp.zeros((L, E), jnp.float32),
+            "aa": jnp.zeros((L, E), jnp.float32),
+            "bb": jnp.zeros((L, E), jnp.float32),
+            "pp": jnp.full((L, E), -1e30, jnp.float32),
+        }
+    H, S = cfg.head_count, cfg.head_size
+    return {
+        "ffn_xx": jnp.zeros((L, E), jnp.float32),
+        "att_xx": jnp.zeros((L, E), jnp.float32),
+        "heads": jnp.zeros((L, H, S, S), jnp.float32),
+    }
+
+
+def state_to_buffer(cfg: ModelConfig, state) -> jnp.ndarray:
+    """Pytree -> flat f32 buffer, byte-compatible with the reference layout
+    (rwkv_create_input_and_output_views, rwkv_graph.inc:545-606)."""
+    L = cfg.n_layer
+    if cfg.version_major == 4:
+        parts = [state[k] for k in ("ffn_xx", "att_xx", "aa", "bb", "pp")]
+        return jnp.concatenate([p.reshape(L, -1) for p in parts], axis=1).reshape(-1)
+    parts = [state["ffn_xx"], state["att_xx"], state["heads"].reshape(L, -1)]
+    return jnp.concatenate(parts, axis=1).reshape(-1)
+
+
+def state_from_buffer(cfg: ModelConfig, buf) -> dict:
+    L, E = cfg.n_layer, cfg.n_embed
+    if cfg.version_major == 4:
+        b = buf.reshape(L, 5 * E)
+        names = ("ffn_xx", "att_xx", "aa", "bb", "pp")
+        return {n: b[:, i * E : (i + 1) * E] for i, n in enumerate(names)}
+    H, S = cfg.head_count, cfg.head_size
+    b = buf.reshape(L, 2 * E + H * S * S)
+    return {
+        "ffn_xx": b[:, :E],
+        "att_xx": b[:, E : 2 * E],
+        "heads": b[:, 2 * E :].reshape(L, H, S, S),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def _token_shift(x_ln, carry_xx, length):
+    """x_prev[t] = x_ln[t-1] with the recurrent carry at t=0; returns
+    (x_prev, new_carry = x_ln[length-1]) (rwkv_carry_x, rwkv_graph.inc:56-82)."""
+    x_prev = jnp.concatenate([carry_xx[None, :], x_ln[:-1]], axis=0)
+    new_xx = jax.lax.dynamic_index_in_dim(x_ln, length - 1, axis=0, keepdims=False)
+    return x_prev, new_xx
+
+
+def _lerp_mix(x, x_prev, mix):
+    # x*mix + x_prev*(1-mix), written as in the reference graph
+    return x * mix + (x_prev - x_prev * mix)
+
+
+def _heads(x, H, S):
+    return x.reshape(x.shape[0], H, S)
+
+
+# ---------------------------------------------------------------------------
+# attention (time-mix) blocks
+# ---------------------------------------------------------------------------
+
+def _att_v4(lp, x_ln, x_prev, st, valid):
+    xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
+    xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
+    xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
+    r = jax.nn.sigmoid(matmul(xr, lp["att_r"]))
+    k = matmul(xk, lp["att_k"])
+    v = matmul(xv, lp["att_v"])
+    wkv, (aa, bb, pp) = wkv_ops.wkv4(
+        k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid
+    )
+    out = matmul(r * wkv, lp["att_o"])
+    return out, {"aa": aa, "bb": bb, "pp": pp}
+
+
+def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
+    H, S = cfg.head_count, cfg.head_size
+    xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
+    xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
+    xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
+    r = _heads(matmul(xr, lp["att_r"]), H, S)
+    k = _heads(matmul(xk, lp["att_k"]), H, S)
+    v = _heads(matmul(xv, lp["att_v"]), H, S)
+    g = None
+    if cfg.version_minor >= 2:
+        xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
+        g = jax.nn.silu(matmul(xg, lp["att_gate"]))
+    w = jnp.broadcast_to(lp["time_decay"], (x_ln.shape[0], H, S))
+    out, heads = wkv_ops.wkv56(r, k, v, lp["time_first"], w, heads, valid)
+    x = group_norm_heads(out.reshape(-1, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
+    if g is not None:
+        x = x * g
+    return matmul(x, lp["att_o"]), heads
+
+
+def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
+    H, S = cfg.head_count, cfg.head_size
+    T = x_ln.shape[0]
+    sx = x_prev - x_ln
+    xxx = x_ln + sx * lp["maa_x"]
+    five = jnp.tanh(matmul(xxx, lp["tm_w1"]))                    # (T, 5K)
+    five = five.reshape(T, 5, -1).transpose(1, 0, 2)             # (5, T, K)
+    mixes = jnp.einsum("itk,ike->ite", five, lp["tm_w2"])        # (5, T, E)
+    mw, mk, mv, mr, mg = mixes
+    xw = x_ln + (mw + lp["maa_w"]) * sx
+    xk = x_ln + (mk + lp["maa_k"]) * sx
+    xv = x_ln + (mv + lp["maa_v"]) * sx
+    xr = x_ln + (mr + lp["maa_r"]) * sx
+    xg = x_ln + (mg + lp["maa_g"]) * sx
+    r = _heads(matmul(xr, lp["att_r"]), H, S)
+    k = _heads(matmul(xk, lp["att_k"]), H, S)
+    v = _heads(matmul(xv, lp["att_v"]), H, S)
+    g = jax.nn.silu(matmul(xg, lp["att_gate"]))
+    w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
+    w = w + lp["decay_base"]
+    w = jnp.exp(-jnp.exp(w))
+    out, heads = wkv_ops.wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid)
+    x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
+    x = x * g
+    return matmul(x, lp["att_o"]), heads
+
+
+def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig):
+    H, S = cfg.head_count, cfg.head_size
+    T = x_ln.shape[0]
+    sx = x_prev - x_ln                                          # (T, E)
+    xxx = sx[None, :, :] * lp["x_rwkvag"][:, None, :] + x_ln[None, :, :]  # (6, T, E)
+    xr, xw, xk, xv, xa, xg = xxx
+
+    r = matmul(xr, lp["att_r"])
+    g = matmul(jax.nn.sigmoid(matmul(xg, lp["g1"])), lp["g2"])
+    a = jax.nn.sigmoid(matmul(matmul(xa, lp["a1"]), lp["a2"]) + lp["a0"])
+    w = matmul(jnp.tanh(matmul(xw, lp["w1"])), lp["w2"]) + lp["w0"]
+    w = jnp.exp(jax.nn.sigmoid(w) * jnp.float32(-0.606531))
+
+    k = matmul(xk, lp["att_k"])
+    kk = l2_norm_rows(_heads(k * lp["k_k"], H, S))
+    ka = k * lp["k_a"]
+    k = k + (a * ka - ka)
+
+    v = matmul(xv, lp["att_v"])
+    v_resid = v + (v_first - v) * jax.nn.sigmoid(
+        matmul(matmul(xv, lp["v1"]), lp["v2"]) + lp["v0"]
+    )
+    is_first = layer_idx == 0
+    v = jnp.where(is_first, v, v_resid)
+    v_first = jnp.where(is_first, v, v_first)
+
+    rh, wh, kh, vh, ah = (_heads(t, H, S) for t in (r, w, k, v, a))
+    out, heads = wkv_ops.wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid)
+
+    x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
+    # bonus: v * sum_per_head(k * r * r_k) (rwkv_graph.inc:472-477)
+    bonus = vh * jnp.sum(kh * rh * lp["r_k"], axis=-1, keepdims=True)
+    x = x + bonus.reshape(T, H * S)
+    x = x * g
+    return matmul(x, lp["att_o"]), heads, v_first
+
+
+# ---------------------------------------------------------------------------
+# channel-mix (FFN) blocks
+# ---------------------------------------------------------------------------
+
+def _ffn_v4_v5(lp, x_ln, x_prev):
+    xk = _lerp_mix(x_ln, x_prev, lp["ffn_mix_k"])
+    xr = _lerp_mix(x_ln, x_prev, lp["ffn_mix_r"])
+    r = jax.nn.sigmoid(matmul(xr, lp["ffn_r"]))
+    k = jnp.square(jax.nn.relu(matmul(xk, lp["ffn_k"])))
+    return r * matmul(k, lp["ffn_v"])
+
+
+def _ffn_v6(lp, x_ln, x_prev):
+    sx = x_prev - x_ln
+    xk = x_ln + sx * lp["ffn_maa_k"]
+    xr = x_ln + sx * lp["ffn_maa_r"]
+    r = jax.nn.sigmoid(matmul(xr, lp["ffn_r"]))
+    k = jnp.square(jax.nn.relu(matmul(xk, lp["ffn_k"])))
+    return r * matmul(k, lp["ffn_v"])
+
+
+def _ffn_v7(lp, x_ln, x_prev):
+    sx = x_prev - x_ln
+    xk = x_ln + sx * lp["ffn_x_k"]
+    k = jnp.square(jax.nn.relu(matmul(xk, lp["ffn_k"])))
+    return matmul(k, lp["ffn_v"])
+
+
+# ---------------------------------------------------------------------------
+# full forward
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits"))
+def forward(params, cfg: ModelConfig, tokens, state, length, compute_logits: bool = True):
+    """Evaluate `tokens` (T,) int32 against `state`; positions >= length are
+    padding. Returns (logits (V,) f32 or None, new_state).
+
+    compute_logits=False skips the head matmul entirely (the reference's
+    pre/post-logits graph truncation, rwkv_eval.inc:25-35).
+    """
+    T = tokens.shape[0]
+    valid = jnp.arange(T) < length
+    major = cfg.version_major
+
+    emb = params["emb"]
+    x = emb[tokens].astype(jnp.float32)
+    x = layer_norm(x, params["ln0_w"], params["ln0_b"])
+
+    v_first0 = jnp.zeros_like(x)
+
+    def layer_fn(carry, xs):
+        x, v_first = carry
+        lp, st, idx = xs
+
+        x_ln1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        x_prev1, att_xx = _token_shift(x_ln1, st["att_xx"], length)
+
+        if major == 4:
+            att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, valid)
+            new_st = {"att_xx": att_xx, **new4}
+        elif major == 5:
+            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], valid, cfg)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        elif major == 6:
+            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], valid, cfg)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        else:
+            att_out, heads, v_first = _att_v7(
+                lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg
+            )
+            new_st = {"att_xx": att_xx, "heads": heads}
+        x = x + att_out
+
+        x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        x_prev2, ffn_xx = _token_shift(x_ln2, st["ffn_xx"], length)
+        if major == 7:
+            ffn_out = _ffn_v7(lp, x_ln2, x_prev2)
+        elif major == 6:
+            ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
+        else:
+            ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
+        x = x + ffn_out
+
+        new_st["ffn_xx"] = ffn_xx
+        return (x, v_first), new_st
+
+    (x, _), new_state = jax.lax.scan(
+        layer_fn,
+        (x, v_first0),
+        (params["layers"], state, jnp.arange(cfg.n_layer)),
+    )
+
+    if not compute_logits:
+        return None, new_state
+
+    x_last = jax.lax.dynamic_index_in_dim(x, length - 1, axis=0, keepdims=True)
+    x_last = layer_norm(x_last, params["ln_out_w"], params["ln_out_b"])
+    logits = matmul(x_last, params["head"])[0]
+    return logits, new_state

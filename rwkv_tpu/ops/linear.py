@@ -1,0 +1,177 @@
+"""Linear (projection) weights and the matmul dispatcher.
+
+A `Linear` is a pytree-registered dataclass holding one of three representations:
+
+  kind='dense'  — w: (in, out) f32/bf16; y = x @ w                (fast path)
+  kind='f16'    — w: (in, out) f16; y = f16(x) @ w, f32 accum     (ggml FP16 parity:
+                  ggml converts f32 activations to f16 rows before its F16 vec_dot)
+  kind='quant'  — q: (out, nb, 32) int8 codes, d/m: (out, nb) f32 block scales/mins.
+                  Two evaluation strategies:
+                    parity: emulate ggml's integer block-dot with Q8_0/Q8_1
+                            activation quantization (the path that produced the
+                            reference golden logits; see rwkv_quantize.inc,
+                            SURVEY.md §2.2)
+                    fast:   fused dequant-matmul (Pallas on TPU; jnp dequant
+                            fallback elsewhere)
+
+Weights with a leading layer dimension (stacked for lax.scan over layers) work
+transparently: scan slices each leaf per layer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tpu.formats import quant as qcodec
+
+QK = qcodec.QK
+
+
+@dataclass
+class Linear:
+    w: Any = None
+    q: Any = None
+    d: Any = None
+    m: Any = None
+    kind: str = "dense"   # 'dense' | 'f16' | 'quant'
+    fmt: str = ""         # quant format name when kind == 'quant'
+
+    @property
+    def shape(self):
+        """(in, out) logical shape."""
+        if self.kind == "quant":
+            *_, o, nb, _ = self.q.shape
+            return (nb * QK, o)
+        return self.w.shape[-2:]
+
+
+jax.tree_util.register_dataclass(
+    Linear,
+    data_fields=["w", "q", "d", "m"],
+    meta_fields=["kind", "fmt"],
+)
+
+
+def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
+    """Build a Linear from a file tensor record (2D, numpy shape (out, in))."""
+    if rec.type_name == "FP32":
+        w = rec.to_float32().T
+        return Linear(w=np.ascontiguousarray(w), kind="dense")
+    if rec.type_name == "FP16":
+        # ggml's effective F16 mul_mat here upconverts to f32 (llamafile sgemm /
+        # F16C FMA): the reference FP16 oracles match f32-upcast weights with
+        # f32 activations to ~1e-4, while f16-rounded activations drift outside
+        # the 5% tolerance on 5v1. So parity == plain f32 matmul on upcast weights.
+        w = rec.to_float32().T
+        if not parity:
+            w = w.astype(np.dtype(dense_dtype))
+        return Linear(w=np.ascontiguousarray(w), kind="dense")
+    # quantized
+    q, d, m = qcodec.decode_blocks(rec.type_name, rec.data)
+    out, inn = rec.numpy_shape
+    nb = inn // QK
+    lin = Linear(
+        q=q.reshape(out, nb, QK),
+        d=d.reshape(out, nb),
+        m=None if m is None else m.reshape(out, nb),
+        kind="quant",
+        fmt=rec.type_name,
+    )
+    if not parity:
+        # fast path currently dequantizes to dense at load; the fused
+        # Pallas dequant-matmul path replaces this for big models (ops/qmm.py)
+        w = qcodec.dequantize(rec.type_name, rec.data, (out, inn)).T
+        return Linear(w=np.ascontiguousarray(w.astype(np.dtype(dense_dtype))), kind="dense")
+    return lin
+
+
+# ---------------------------------------------------------------------------
+# ggml-parity activation quantization (jnp, jit-friendly)
+# ---------------------------------------------------------------------------
+
+def _round_away(v):
+    return jnp.trunc(v + jnp.copysign(jnp.float32(0.5), v))
+
+
+def _q8_activations(x, want_sum: bool):
+    """x (T, K) f32 -> q (T, nb, 32) int32, d (T, nb) f32 [fp16-rounded],
+    and s (T, nb) f32 [fp16-rounded d*sum(q)] if want_sum (Q8_1)."""
+    t, k = x.shape
+    b = x.reshape(t, k // QK, QK)
+    amax = jnp.max(jnp.abs(b), axis=2)
+    d = amax / jnp.float32(127.0)
+    inv = jnp.where(d != 0.0, 1.0 / d, 0.0)
+    q = _round_away(b * inv[..., None]).astype(jnp.int32)
+    d16 = d.astype(jnp.float16).astype(jnp.float32)
+    if not want_sum:
+        return q, d16, None
+    s = q.sum(axis=2).astype(jnp.float32) * d
+    s16 = s.astype(jnp.float16).astype(jnp.float32)
+    return q, d16, s16
+
+
+def _matmul_quant_parity(x, lin: Linear):
+    want_sum = lin.fmt in ("Q4_1", "Q5_1")
+    qa, da, sa = _q8_activations(x, want_sum)
+    qw = lin.q.astype(jnp.int32)
+    sumi = jnp.einsum("tnj,onj->ton", qa, qw).astype(jnp.float32)
+    y = jnp.einsum("ton,on,tn->to", sumi, lin.d, da)
+    if want_sum:
+        y = y + jnp.einsum("on,tn->to", lin.m, sa)
+    return y
+
+
+def matmul(x, lin: Linear):
+    """y = x @ W with W logically (in, out); x is (..., in) f32."""
+    if lin.kind == "dense":
+        w = lin.w
+        if w.dtype == jnp.bfloat16:
+            return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if lin.kind == "f16":
+        return jnp.dot(x.astype(jnp.float16), lin.w, preferred_element_type=jnp.float32)
+    if lin.kind == "quant":
+        return _matmul_quant_parity(x, lin)
+    raise ValueError(f"unknown Linear kind {lin.kind}")
+
+
+def stack(lins: list) -> Linear:
+    """Stack per-layer Linears into one with a leading layer axis.
+
+    Mixed dtypes across layers (e.g. after a LoRA merge wrote FP32 tensors into
+    an FP16 model) are unified by upcasting to dense f32.
+    """
+    kinds = {l.kind for l in lins}
+    fmts = {l.fmt for l in lins}
+    if len(kinds) > 1 or (kinds == {"quant"} and len(fmts) > 1):
+        dense = [to_dense_f32(l) for l in lins]
+        return Linear(w=np.stack([l.w for l in dense]), kind="dense")
+    k = lins[0].kind
+    if k == "quant":
+        return Linear(
+            q=np.stack([l.q for l in lins]),
+            d=np.stack([l.d for l in lins]),
+            m=None if lins[0].m is None else np.stack([l.m for l in lins]),
+            kind="quant",
+            fmt=lins[0].fmt,
+        )
+    return Linear(w=np.stack([l.w for l in lins]), kind=k)
+
+
+def to_dense_f32(lin: Linear) -> Linear:
+    if lin.kind == "dense" and lin.w.dtype == np.float32:
+        return lin
+    if lin.kind in ("dense", "f16"):
+        return Linear(w=np.asarray(lin.w, dtype=np.float32), kind="dense")
+    w = np.asarray(lin.q, np.float32) * np.asarray(lin.d, np.float32)[..., None]
+    if lin.m is not None:
+        w = w + np.asarray(lin.m, np.float32)[..., None]
+    o = lin.q.shape[-3]
+    w = w.reshape(*lin.q.shape[:-3], o, -1)
+    return Linear(w=np.ascontiguousarray(np.swapaxes(w, -1, -2)), kind="dense")
