@@ -236,13 +236,24 @@ def _ffn_v7(lp, x_ln, x_prev):
 # full forward
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "compute_logits"))
-def forward(params, cfg: ModelConfig, tokens, state, length, compute_logits: bool = True):
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits"))
+def forward(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    state,
+    length,
+    compute_logits: bool = True,
+    all_logits: bool = False,
+):
     """Evaluate `tokens` (T,) int32 against `state`; positions >= length are
     padding. Returns (logits (V,) f32 or None, new_state).
 
     compute_logits=False skips the head matmul entirely (the reference's
     pre/post-logits graph truncation, rwkv_eval.inc:25-35).
+    all_logits=True returns logits for every position, (T, V) — needed for
+    perplexity measurement and training, beyond the reference's
+    last-token-only sequential head (rwkv_graph.inc:851-854).
     """
     T = tokens.shape[0]
     valid = jnp.arange(T) < length
@@ -299,7 +310,22 @@ def forward(params, cfg: ModelConfig, tokens, state, length, compute_logits: boo
     if not compute_logits:
         return None, new_state
 
+    if all_logits:
+        x_out = layer_norm(x, params["ln_out_w"], params["ln_out_b"])
+        return matmul(x_out, params["head"]), new_state
+
     x_last = jax.lax.dynamic_index_in_dim(x, length - 1, axis=0, keepdims=True)
     x_last = layer_norm(x_last, params["ln_out_w"], params["ln_out_b"])
     logits = matmul(x_last, params["head"])[0]
     return logits, new_state
+
+
+def forward_batch(
+    params, cfg: ModelConfig, tokens, state, lengths,
+    compute_logits: bool = True, all_logits: bool = False,
+):
+    """Batched forward over independent streams: tokens (B, T), state leaves
+    with a leading B axis, lengths (B,). The batch axis is the data-parallel
+    ('dp') mesh axis in sharded execution (parallel/shard.py)."""
+    fn = partial(forward, compute_logits=compute_logits, all_logits=all_logits)
+    return jax.vmap(lambda t, s, l: fn(params, cfg, t, s, l))(tokens, state, lengths)

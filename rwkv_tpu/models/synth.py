@@ -1,0 +1,124 @@
+"""Synthetic random-weight model builder.
+
+Used by benchmarks, the multi-chip dry run, and kernel tests: produces the
+same param pytree as params.load_params (fast mode, dense) for any
+ModelConfig without needing a model file (the environment has no network
+access to fetch real checkpoints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rwkv_tpu.models.params import ModelConfig
+from rwkv_tpu.ops.linear import Linear
+
+
+def make_config(
+    version: str = "7.0",
+    n_vocab: int = 65536,
+    n_embed: int = 768,
+    n_layer: int = 12,
+    head_size: int = 64,
+) -> ModelConfig:
+    major, minor = (int(p) for p in version.split("."))
+    H = n_embed // head_size if major >= 5 else 0
+    S = head_size if major >= 5 else 0
+    return ModelConfig(major, minor, n_vocab, n_embed, n_layer, H, S, "FP32")
+
+
+# named configs mirroring the reference's benchmark models (BASELINE.md)
+PRESETS = {
+    # RWKV-4 Pile 169M: L12 D768 V50277
+    "169m": dict(version="4.0", n_vocab=50277, n_embed=768, n_layer=12),
+    # RWKV-4 Pile 1.5B: L24 D2048 V50277
+    "1b5": dict(version="4.0", n_vocab=50277, n_embed=2048, n_layer=24),
+    # RWKV-7 World ~0.1B: L12 D768
+    "7-0.1b": dict(version="7.0", n_vocab=65536, n_embed=768, n_layer=12),
+    # RWKV-7 World 1.5B: L24 D2048
+    "7-1b5": dict(version="7.0", n_vocab=65536, n_embed=2048, n_layer=24),
+    # RWKV-7 World 7B-class: L32 D4096
+    "7-7b": dict(version="7.0", n_vocab=65536, n_embed=4096, n_layer=32),
+    # RWKV-6 World 7B: L32 D4096
+    "6-7b": dict(version="6.0", n_vocab=65536, n_embed=4096, n_layer=32),
+}
+
+
+def random_params(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
+    """Random params scaled so activations stay sane (decode won't overflow)."""
+    rng = np.random.default_rng(seed)
+    E, V, L, H, S = cfg.n_embed, cfg.n_vocab, cfg.n_layer, cfg.head_count, cfg.head_size
+
+    def mat(*shape, scale=None):
+        scale = scale if scale is not None else 0.5 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
+        return (rng.standard_normal(shape) * scale).astype(dtype)
+
+    def vec(*shape, val=None):
+        if val is not None:
+            return np.full(shape, val, np.float32)
+        return rng.uniform(0.0, 1.0, shape).astype(np.float32)
+
+    def lin(inn, out):
+        return Linear(w=np.stack([mat(inn, out) for _ in range(L)]), kind="dense")
+
+    params = {
+        "emb": mat(V, E, scale=0.02).astype(np.float32),
+        "ln0_w": vec(E, val=1.0), "ln0_b": vec(E, val=0.0),
+        "ln_out_w": vec(E, val=1.0), "ln_out_b": vec(E, val=0.0),
+        "head": Linear(w=mat(E, V, scale=0.02), kind="dense"),
+    }
+    F = 4 * E if cfg.version_major != 6 else int(3.5 * E)
+    lay = {
+        "ln1_w": np.ones((L, E), np.float32), "ln1_b": np.zeros((L, E), np.float32),
+        "ln2_w": np.ones((L, E), np.float32), "ln2_b": np.zeros((L, E), np.float32),
+        "att_k": lin(E, E), "att_v": lin(E, E), "att_r": lin(E, E), "att_o": lin(E, E),
+        "ffn_k": lin(E, F), "ffn_v": lin(F, E),
+    }
+    if cfg.version_major == 4:
+        lay.update(
+            att_mix_k=vec(L, E), att_mix_v=vec(L, E), att_mix_r=vec(L, E),
+            time_first=vec(L, E) * 0.3,
+            time_decay=-np.exp(rng.uniform(-3, 1, (L, E))).astype(np.float32),
+            ffn_mix_k=vec(L, E), ffn_mix_r=vec(L, E), ffn_r=lin(E, E),
+        )
+    elif cfg.version_major == 5:
+        lay.update(
+            att_mix_k=vec(L, E), att_mix_v=vec(L, E), att_mix_r=vec(L, E),
+            time_decay=np.exp(-np.exp(rng.uniform(-3, 1, (L, H, S)))).astype(np.float32),
+            time_first=vec(L, H, S) * 0.3,
+            ln_x_w=np.ones((L, E), np.float32), ln_x_b=np.zeros((L, E), np.float32),
+            ffn_mix_k=vec(L, E), ffn_mix_r=vec(L, E), ffn_r=lin(E, E),
+        )
+        if cfg.version_minor >= 2:
+            lay.update(att_mix_g=vec(L, E), att_gate=lin(E, E))
+    elif cfg.version_major == 6:
+        K = 32
+        D = 64
+        lay.update(
+            maa_x=vec(L, E), maa_w=vec(L, E), maa_k=vec(L, E),
+            maa_v=vec(L, E), maa_r=vec(L, E), maa_g=vec(L, E),
+            tm_w1=lin(E, 5 * K),
+            tm_w2=np.stack([np.stack([mat(K, E) for _ in range(5)]) for _ in range(L)]),
+            decay_base=rng.uniform(-3, 1, (L, E)).astype(np.float32),
+            decay_w1=lin(E, D), decay_w2=lin(D, E),
+            time_first=vec(L, H, S) * 0.3,
+            att_gate=lin(E, E),
+            ln_x_w=np.ones((L, E), np.float32), ln_x_b=np.zeros((L, E), np.float32),
+            ffn_maa_k=vec(L, E), ffn_maa_r=vec(L, E), ffn_r=lin(E, E),
+        )
+    elif cfg.version_major == 7:
+        D = max(32, E // 16)
+        lay.update(
+            x_rwkvag=vec(L, 6, E),
+            w0=rng.uniform(-2, 0, (L, E)).astype(np.float32),
+            a0=np.zeros((L, E), np.float32),
+            v0=np.zeros((L, E), np.float32),
+            k_k=vec(L, E), k_a=vec(L, E),
+            r_k=(rng.standard_normal((L, H, S)) * 0.1).astype(np.float32),
+            w1=lin(E, D), w2=lin(D, E), a1=lin(E, D), a2=lin(D, E),
+            g1=lin(E, D), g2=lin(D, E), v1=lin(E, D), v2=lin(D, E),
+            ln_x_w=np.ones((L, E), np.float32), ln_x_b=np.zeros((L, E), np.float32),
+            ffn_x_k=vec(L, E),
+        )
+    params["layers"] = lay
+    return params

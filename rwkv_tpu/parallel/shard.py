@@ -1,0 +1,103 @@
+"""NamedSharding layouts for RWKV params and state.
+
+TP sharding plan (SURVEY.md §5.8): the head dimension is the shard axis —
+the per-head S×S wkv state never mixes heads, so the recurrence itself needs
+no communication. Column-parallel projections into the heads (r/k/v/gate,
+ffn key), row-parallel projections out (att output, ffn value, with XLA
+inserting the reduce); E-sized per-channel vectors that are consumed inside
+the head space are sharded head-aligned (E splits into contiguous heads).
+
+Only params/state/IO get explicit shardings; intermediate shardings are left
+to GSPMD propagation.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rwkv_tpu.models.params import ModelConfig
+from rwkv_tpu.ops.linear import Linear
+
+# layer-stacked Linear names -> 'col' (shard out dim) / 'row' (shard in dim)
+# / 'rep' (replicate)
+_LINEAR_PLAN = {
+    "att_k": "col", "att_v": "col", "att_r": "col", "att_gate": "col",
+    "att_o": "row",
+    "ffn_k": "col", "ffn_v": "row", "ffn_r": "col",
+    # low-rank adapters are tiny: replicate
+    "tm_w1": "rep", "decay_w1": "rep", "decay_w2": "rep",
+    "w1": "rep", "w2": "rep", "a1": "rep", "a2": "rep",
+    "g1": "rep", "g2": "rep", "v1": "rep", "v2": "rep",
+}
+
+# layer-stacked vectors sharded head-aligned over their E / (H, S) axis
+_HEAD_ALIGNED = {"time_decay", "time_first", "ln_x_w", "ln_x_b", "r_k"}
+
+
+def _linear_spec(lin: Linear, mode: str, stacked: bool):
+    lead = (None,) if stacked else ()
+    if mode == "rep":
+        return jax.tree.map(lambda _: P(), lin)
+    if lin.kind == "quant":
+        # q: (L, O, nb, 32); d/m: (L, O, nb)
+        if mode == "col":
+            q, d = P(*lead, "tp", None, None), P(*lead, "tp", None)
+        else:
+            q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
+        return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
+    # dense (L, in, out)
+    spec = P(*lead, None, "tp") if mode == "col" else P(*lead, "tp", None)
+    return Linear(w=spec, kind=lin.kind, fmt=lin.fmt)
+
+
+def param_specs(cfg: ModelConfig, params) -> dict:
+    """PartitionSpec pytree matching `params` (load_params output)."""
+    specs = {
+        "emb": P(),
+        "ln0_w": P(), "ln0_b": P(), "ln_out_w": P(), "ln_out_b": P(),
+        "head": _linear_spec(params["head"], "col", stacked=False),
+    }
+    lspecs = {}
+    for name, val in params["layers"].items():
+        if isinstance(val, Linear):
+            lspecs[name] = _linear_spec(val, _LINEAR_PLAN.get(name, "rep"), stacked=True)
+        elif name in _HEAD_ALIGNED:
+            # (L, E) head-aligned or (L, H, S)
+            lspecs[name] = P(None, "tp") if val.ndim == 2 else P(None, "tp", None)
+        else:
+            lspecs[name] = P()
+    specs["layers"] = lspecs
+    return specs
+
+
+def state_specs(cfg: ModelConfig, batched: bool) -> dict:
+    """State pytree specs: dp over the stream batch, tp over heads."""
+    lead = ("dp",) if batched else ()
+    # token-shift carries feed column-parallel matmuls, so they stay
+    # replicated over tp; the per-channel (v4) / per-head (v5+) wkv state is
+    # the big tensor and shards cleanly
+    base = {
+        "ffn_xx": P(*lead, None, None),
+        "att_xx": P(*lead, None, None),
+    }
+    if cfg.version_major == 4:
+        base.update(
+            aa=P(*lead, None, "tp"), bb=P(*lead, None, "tp"), pp=P(*lead, None, "tp")
+        )
+    else:
+        base["heads"] = P(*lead, None, "tp", None, None)
+    return base
+
+
+def shard_params(mesh: Mesh, cfg: ModelConfig, params):
+    """device_put params with the TP plan."""
+    specs = param_specs(cfg, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def shard_state(mesh: Mesh, cfg: ModelConfig, state, batched: bool = True):
+    specs = state_specs(cfg, batched)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in state.items()}

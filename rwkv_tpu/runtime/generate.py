@@ -1,0 +1,50 @@
+"""On-device generation loops.
+
+Single-token eval from Python costs one host->device dispatch per token (the
+reference has the same structure: one graph launch per token). For throughput
+serving and benchmarking, `greedy_decode` runs the whole decode loop on device
+under one jit (lax.scan over steps), so the host is out of the hot path —
+a capability ggml's explicit-graph model cannot express.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_tpu.models import forward as fwd
+from rwkv_tpu.models.params import ModelConfig
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps"))
+def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
+    """Greedy-decode `steps` tokens for a batch of streams entirely on device.
+
+    tokens0: (B,) int32 last prompt token per stream; state leaves have a
+    leading B axis. Returns (tokens (B, steps), final_state).
+    """
+
+    def step(carry, _):
+        tok, st = carry
+        logits, st = fwd.forward_batch(
+            params, cfg, tok[:, None], st, jnp.ones_like(tok), compute_logits=True
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, st), nxt
+
+    (_, state), toks = jax.lax.scan(step, (tokens0, state), None, length=steps)
+    return toks.T, state
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill(params, cfg: ModelConfig, tokens, state, lengths):
+    """Batched chunk prefill: tokens (B, T), returns (last_logits (B, V), state)."""
+    return fwd.forward_batch(params, cfg, tokens, state, lengths, compute_logits=True)
+
+
+def batched_init_state(cfg: ModelConfig, batch: int):
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), fwd.init_state(cfg)
+    )
