@@ -1,0 +1,193 @@
+"""Tooling tests: tokenizers, sampling, converter, LoRA merge, perplexity.
+
+Mirrors the reference's python unit tests (convert_pytorch_to_ggml.test.py,
+rwkv_world_tokenizer.test.py) plus end-to-end convert->load and LoRA-merge
+checks the reference only exercises manually.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rwkv_tpu.formats import container
+from rwkv_tpu.formats.convert import convert_state_dict
+from rwkv_tpu.formats.lora import merge_lora
+from rwkv_tpu.utils.sampling import sample_logits, sample_probs
+from rwkv_tpu.utils.tokenizer import get_tokenizer, get_world_tokenizer
+from tests.common import fixture
+
+
+def test_world_tokenizer_reference_string():
+    """Reference oracle: rwkv_world_tokenizer.test.py:7-17."""
+    decode, encode = get_world_tokenizer()
+    s = "I'll 'd test блабла 以下は、]) -> <|endoftext|><|padding|> int"
+    expected = [74, 5229, 274, 101, 32223, 5092, 27980, 2795, 27980, 33, 10399,
+                10258, 10139, 10079, 1682, 3463, 295, 125, 25258, 7588, 2318,
+                125, 790, 125, 49520, 125, 63, 21888]
+    actual = encode(s)
+    assert actual == expected
+    assert decode(actual) == s
+
+
+def test_world_tokenizer_partial_utf8_deferral():
+    decode, encode = get_world_tokenizer()
+    toks = encode("日本語")
+    # decoding a strict prefix of a multibyte char must yield U+FFFD, not raise
+    from rwkv_tpu.utils.tokenizer import WorldTokenizer
+
+    t = WorldTokenizer()
+    partial = t.decode_bytes(toks)[:-1]
+    assert "�" in partial.decode("utf-8", errors="replace")
+
+
+def test_tokenizer_auto_dispatch():
+    with pytest.raises(ValueError):
+        get_tokenizer("auto", 1234)
+    d, e = get_tokenizer("auto", 65536)
+    assert e("hello")  # world
+    d20, e20 = get_tokenizer("auto", 50277)
+    ids = e20("Hello world")
+    assert d20(ids).strip() == "Hello world"
+
+
+def test_sampling_semantics():
+    logits = np.array([0.0, 5.0, 1.0, -2.0], dtype=np.float32)
+    assert sample_logits(logits, temperature=0.0) == 1  # argmax
+    rng = np.random.default_rng(0)
+    # top_p small -> nucleus collapses to argmax
+    for _ in range(5):
+        assert sample_logits(logits, temperature=1.0, top_p=0.01, rng=rng) == 1
+    # logit bias can force a token
+    assert sample_logits(logits, 0.0, 1.0, logit_bias={3: 100.0}) == 3
+    # top_p=0 treated as disabled (reference sampling.py:24-25)
+    probs = np.full(4, 0.25, np.float32)
+    counts = {sample_probs(probs, 1.0, 0.0, rng=rng) for _ in range(64)}
+    assert len(counts) > 1
+    with pytest.raises(ValueError):
+        sample_probs(probs, 1.0, 1.5)
+
+
+def test_converter_byte_layout(tmp_path):
+    """Reference golden byte layout: convert_pytorch_to_ggml.test.py:21-46."""
+    sd = {
+        "emb.weight": np.array([[1, 2], [3, 4], [5, 6]], dtype=np.float32),
+        "blocks.0.ln1.weight": np.array([1], dtype=np.float32),
+    }
+    path = tmp_path / "out.bin"
+    convert_state_dict(sd, str(path), "FP32")
+    actual = path.read_bytes()
+    expected = struct.pack(
+        "=iiiiii" + "iiiii10sffffff" + "iiii19sf",
+        0x67676D66, 101, 3, 2, 1, 0,
+        2, 10, 0, 2, 3, b"emb.weight", 1.0, 2.0, 3.0, 4.0, 5.0, 6.0,
+        1, 19, 0, 1, b"blocks.0.ln1.weight", 1.0,
+    )
+    assert list(actual) == list(expected)
+
+
+def test_converter_roundtrip_v7(tmp_path):
+    """Synthesize a v7 pytorch-style state dict, convert, reload, eval."""
+    rng = np.random.default_rng(0)
+    E, V, L, D = 64, 256, 2, 32
+    sd = {"emb.weight": rng.standard_normal((V, E)).astype(np.float32) * 0.1}
+    sd["blocks.0.ln0.weight"] = np.ones(E, np.float32)
+    sd["blocks.0.ln0.bias"] = np.zeros(E, np.float32)
+    for i in range(L):
+        p = f"blocks.{i}."
+        sd[p + "ln1.weight"] = np.ones(E, np.float32)
+        sd[p + "ln1.bias"] = np.zeros(E, np.float32)
+        sd[p + "ln2.weight"] = np.ones(E, np.float32)
+        sd[p + "ln2.bias"] = np.zeros(E, np.float32)
+        for nm in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g"):
+            sd[p + f"att.{nm}"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        for nm in ("w", "a", "g", "v"):
+            sd[p + f"att.{nm}1"] = rng.standard_normal((E, D)).astype(np.float32) * 0.1
+            sd[p + f"att.{nm}2"] = rng.standard_normal((D, E)).astype(np.float32) * 0.1
+        sd[p + "att.w0"] = rng.uniform(-2, 0, (1, 1, E)).astype(np.float32)
+        sd[p + "att.a0"] = np.zeros((1, 1, E), np.float32)
+        sd[p + "att.v0"] = np.zeros((1, 1, E), np.float32)
+        sd[p + "att.k_k"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "att.k_a"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "att.r_k"] = rng.standard_normal((1, E)).astype(np.float32) * 0.1
+        for nm in ("key", "value", "receptance", "output"):
+            sd[p + f"att.{nm}.weight"] = rng.standard_normal((E, E)).astype(np.float32) * 0.1
+        sd[p + "att.ln_x.weight"] = np.ones(E, np.float32)
+        sd[p + "att.ln_x.bias"] = np.zeros(E, np.float32)
+        sd[p + "ffn.x_k"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "ffn.key.weight"] = rng.standard_normal((4 * E, E)).astype(np.float32) * 0.1
+        sd[p + "ffn.value.weight"] = rng.standard_normal((E, 4 * E)).astype(np.float32) * 0.1
+    # v7 detection requires both k_k and r_k; delete blocks.0 v's like real ckpts
+    sd["ln_out.weight"] = np.ones(E, np.float32)
+    sd["ln_out.bias"] = np.zeros(E, np.float32)
+    sd["head.weight"] = rng.standard_normal((V, E)).astype(np.float32) * 0.1
+
+    path = tmp_path / "v7.bin"
+    convert_state_dict(sd, str(path), "FP16")
+    # x_rwkvag must have been concatenated
+    _, tensors = container.read_model_file(str(path))
+    assert "blocks.0.att.x_rwkvag" in tensors
+    assert tensors["blocks.0.att.x_rwkvag"].numpy_shape == (6, 1, E)
+    assert "blocks.0.att.x_r" not in tensors
+
+    from rwkv_tpu.runtime.context import Context
+
+    ctx = Context(str(path))
+    assert ctx.cfg.version_major == 7
+    logits, _ = ctx.eval_sequence([1, 2, 3])
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_lora_merge(tmp_path):
+    """Merge a rank-2 LoRA into the tiny 5v2 model; logits must change but
+    stay finite; unrelated params byte-identical."""
+    src = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    rng = np.random.default_rng(0)
+    E = 64
+    lora = {
+        "blocks.0.att.key.lora_A.weight": rng.standard_normal((2, E)).astype(np.float32) * 0.1,
+        "blocks.0.att.key.lora_B.weight": rng.standard_normal((E, 2)).astype(np.float32) * 0.1,
+    }
+    dest = tmp_path / "merged.bin"
+    merge_lora(src, "v5.2", dict(lora), 4, str(dest))
+
+    _, t_src = container.read_model_file(src)
+    _, t_dst = container.read_model_file(str(dest))
+    assert t_src["blocks.0.att.value.weight"].data == t_dst["blocks.0.att.value.weight"].data
+    assert t_src["blocks.0.att.key.weight"].data != t_dst["blocks.0.att.key.weight"].data
+    expected = t_src["blocks.0.att.key.weight"].to_float32() + (
+        lora["blocks.0.att.key.lora_B.weight"] @ lora["blocks.0.att.key.lora_A.weight"]
+    ) * (4 / 2)
+    np.testing.assert_allclose(t_dst["blocks.0.att.key.weight"].to_float32(), expected, rtol=1e-6)
+
+    from rwkv_tpu.runtime.context import Context
+
+    ctx = Context(str(dest))
+    logits, _ = ctx.eval_sequence([34, 105, 110])
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_perplexity_harness():
+    """exp(mean CE) on the tiny model; chunked all-logits path must agree with
+    the serial definition (reference measure_pexplexity.py:69-109)."""
+    from rwkv_tpu.runtime.context import Context
+    from rwkv_tpu.utils.perplexity import measure_perplexity
+
+    ctx = Context(fixture("tiny-rwkv-5v2-730K-FP32.bin"))
+    text = b"This is a port of BlinkDL/RWKV-LM to ggerganov/ggml. " * 3
+    tokens = list(text)
+    r = measure_perplexity(ctx, tokens, ignore_first_n_tokens=2, chunk_size=32)
+    assert np.isfinite(r.perplexity)
+
+    # serial-definition reference value
+    import jax.nn
+
+    state = None
+    losses = []
+    for i in range(len(tokens) - 1):
+        logits, state = ctx.eval(tokens[i], state)
+        if i + 1 >= 2:
+            logp = np.asarray(jax.nn.log_softmax(np.asarray(logits)))
+            losses.append(-logp[tokens[i + 1]])
+    expected = float(np.exp(np.mean(losses)))
+    assert abs(r.perplexity - expected) / expected < 1e-3
