@@ -33,26 +33,28 @@ def main():
 
     cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
     t0 = time.time()
-    params = synth.random_params(cfg, dtype=np.dtype("bfloat16"))
-    params = jax.tree.map(jnp.asarray, params)
+    params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"))
     jax.block_until_ready(params)
-    print(f"params built+transferred in {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"params built on device in {time.time()-t0:.1f}s", file=sys.stderr)
 
     B = 8
     state = G.batched_init_state(cfg, B)
     tok0 = jnp.zeros((B,), jnp.int32)
 
-    # warmup / compile
-    t0 = time.time()
-    toks, st = G.greedy_decode(params, cfg, tok0, state, steps=8)
-    jax.block_until_ready(toks)
-    print(f"decode compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
-
+    # NOTE: block_until_ready is unreliable over the axon relay (returns before
+    # execution completes); jax.device_get of the result is the honest barrier.
     steps = 64
     t0 = time.time()
     toks, st = G.greedy_decode(params, cfg, tok0, state, steps=steps)
-    jax.block_until_ready(toks)
-    dt = time.time() - t0
+    _ = jax.device_get(toks)
+    print(f"decode compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
+    reps = 3
+    t0 = time.time()
+    for _i in range(reps):
+        toks, st = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+    _ = jax.device_get(toks)
+    dt = (time.time() - t0) / reps
     decode_tps = B * steps / dt
     print(
         f"decode: {decode_tps:.1f} tok/s (batch {B}, {steps} steps, "
@@ -64,11 +66,12 @@ def main():
     ptoks = jnp.zeros((B, T), jnp.int32)
     plens = jnp.full((B,), T, jnp.int32)
     logits, _ = G.prefill(params, cfg, ptoks, state, plens)
-    jax.block_until_ready(logits)
+    _ = jax.device_get(logits)
     t0 = time.time()
-    logits, _ = G.prefill(params, cfg, ptoks, state, plens)
-    jax.block_until_ready(logits)
-    pdt = time.time() - t0
+    for _i in range(reps):
+        logits, _ = G.prefill(params, cfg, ptoks, state, plens)
+    _ = jax.device_get(logits)
+    pdt = (time.time() - t0) / reps
     print(f"prefill: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
 
     baseline_tps = 1000.0 / 117.0  # reference RWKV-4 1.5B FP16, ms/token -> tok/s

@@ -31,6 +31,30 @@ from rwkv_tpu.ops.linear import matmul
 from rwkv_tpu.ops.norm import group_norm_heads, l2_norm_rows, layer_norm
 
 
+def _use_pallas(explicit) -> bool:
+    """Kernel backend resolution: explicit flag wins; default is Pallas on TPU,
+    pure-jnp scan elsewhere (CPU tests, parity oracles)."""
+    if explicit is not None:
+        return explicit
+    return jax.default_backend() == "tpu"
+
+
+def _wkv7(r, w, k, v, a, b, heads, valid, pallas):
+    if _use_pallas(pallas):
+        from rwkv_tpu.ops.pallas_wkv import wkv7_masked
+
+        return wkv7_masked(r, w, k, v, a, b, heads, valid)
+    return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
+
+
+def _wkv56(r, k, v, tf, w, heads, valid, pallas):
+    if _use_pallas(pallas):
+        from rwkv_tpu.ops.pallas_wkv import wkv6_masked
+
+        return wkv6_masked(r, k, v, tf, w, heads, valid)
+    return wkv_ops.wkv56(r, k, v, tf, w, heads, valid)
+
+
 # ---------------------------------------------------------------------------
 # state pytree
 # ---------------------------------------------------------------------------
@@ -120,7 +144,7 @@ def _att_v4(lp, x_ln, x_prev, st, valid):
     return out, {"aa": aa, "bb": bb, "pp": pp}
 
 
-def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
+def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
     H, S = cfg.head_count, cfg.head_size
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
@@ -133,14 +157,14 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
         xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
         g = jax.nn.silu(matmul(xg, lp["att_gate"]))
     w = jnp.broadcast_to(lp["time_decay"], (x_ln.shape[0], H, S))
-    out, heads = wkv_ops.wkv56(r, k, v, lp["time_first"], w, heads, valid)
+    out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas)
     x = group_norm_heads(out.reshape(-1, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
     if g is not None:
         x = x * g
     return matmul(x, lp["att_o"]), heads
 
 
-def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
+def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
     H, S = cfg.head_count, cfg.head_size
     T = x_ln.shape[0]
     sx = x_prev - x_ln
@@ -161,13 +185,13 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig):
     w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
     w = w + lp["decay_base"]
     w = jnp.exp(-jnp.exp(w))
-    out, heads = wkv_ops.wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid)
+    out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid, pallas)
     x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     x = x * g
     return matmul(x, lp["att_o"]), heads
 
 
-def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig):
+def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig, pallas=None):
     H, S = cfg.head_count, cfg.head_size
     T = x_ln.shape[0]
     sx = x_prev - x_ln                                          # (T, E)
@@ -194,7 +218,7 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
     v_first = jnp.where(is_first, v, v_first)
 
     rh, wh, kh, vh, ah = (_heads(t, H, S) for t in (r, w, k, v, a))
-    out, heads = wkv_ops.wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid)
+    out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas)
 
     x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     # bonus: v * sum_per_head(k * r * r_k) (rwkv_graph.inc:472-477)
@@ -236,7 +260,7 @@ def _ffn_v7(lp, x_ln, x_prev):
 # full forward
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits"))
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas"))
 def forward(
     params,
     cfg: ModelConfig,
@@ -245,6 +269,7 @@ def forward(
     length,
     compute_logits: bool = True,
     all_logits: bool = False,
+    pallas: bool | None = None,
 ):
     """Evaluate `tokens` (T,) int32 against `state`; positions >= length are
     padding. Returns (logits (V,) f32 or None, new_state).
@@ -276,14 +301,14 @@ def forward(
             att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, valid)
             new_st = {"att_xx": att_xx, **new4}
         elif major == 5:
-            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], valid, cfg)
+            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], valid, cfg, pallas)
             new_st = {"att_xx": att_xx, "heads": heads}
         elif major == 6:
-            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], valid, cfg)
+            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], valid, cfg, pallas)
             new_st = {"att_xx": att_xx, "heads": heads}
         else:
             att_out, heads, v_first = _att_v7(
-                lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg
+                lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg, pallas
             )
             new_st = {"att_xx": att_xx, "heads": heads}
         x = x + att_out
@@ -322,10 +347,10 @@ def forward(
 
 def forward_batch(
     params, cfg: ModelConfig, tokens, state, lengths,
-    compute_logits: bool = True, all_logits: bool = False,
+    compute_logits: bool = True, all_logits: bool = False, pallas: bool | None = None,
 ):
     """Batched forward over independent streams: tokens (B, T), state leaves
     with a leading B axis, lengths (B,). The batch axis is the data-parallel
     ('dp') mesh axis in sharded execution (parallel/shard.py)."""
-    fn = partial(forward, compute_logits=compute_logits, all_logits=all_logits)
+    fn = partial(forward, compute_logits=compute_logits, all_logits=all_logits, pallas=pallas)
     return jax.vmap(lambda t, s, l: fn(params, cfg, t, s, l))(tokens, state, lengths)

@@ -44,12 +44,56 @@ PRESETS = {
 }
 
 
-def random_params(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
+def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
+    """Like random_params but materializes big leaves directly on device with
+    jax.random — avoids the slow host->device transfer of GB-scale synthetic
+    weights (the axon tunnel moves ~25 MB/s). Values follow the same scale
+    scheme as random_params, which is what keeps activations finite; exact
+    distributions don't matter for benchmarking."""
+    import jax
+    import jax.numpy as jnp
+
+    host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
+    leaves, treedef = jax.tree.flatten(host)
+
+    synth_idx = [
+        i for i, leaf in enumerate(leaves)
+        if leaf.flags["OWNDATA"] is False and leaf.size >= (1 << 16)
+    ]
+    want_bf16 = np.dtype(dtype) == np.dtype("bfloat16")
+
+    # one jit builds every big leaf on device (per-leaf dispatch costs one
+    # XLA compile each over the remote-compile tunnel)
+    @jax.jit
+    def build(key):
+        ks = jax.random.split(key, len(synth_idx))
+        outs = []
+        for k, i in zip(ks, synth_idx):
+            leaf = leaves[i]
+            scale = 0.5 / np.sqrt(leaf.shape[-2] if leaf.ndim > 1 else leaf.shape[-1])
+            arr = jax.random.normal(k, leaf.shape, jnp.float32) * scale
+            outs.append(arr.astype(jnp.bfloat16) if want_bf16 and leaf.ndim > 1 else arr)
+        return outs
+
+    built = build(jax.random.PRNGKey(seed))
+    out = list(leaves)
+    for i, arr in zip(synth_idx, built):
+        out[i] = arr
+    # small host-built leaves with meaningful values transfer as-is
+    out = [jnp.asarray(x) if isinstance(x, np.ndarray) else x for x in out]
+    return jax.tree.unflatten(treedef, out)
+
+
+def random_params(cfg: ModelConfig, dtype=np.float32, seed: int = 0, shapes_only: bool = False):
     """Random params scaled so activations stay sane (decode won't overflow)."""
     rng = np.random.default_rng(seed)
     E, V, L, H, S = cfg.n_embed, cfg.n_vocab, cfg.n_layer, cfg.head_count, cfg.head_size
 
     def mat(*shape, scale=None):
+        if shapes_only:
+            # zero-fill via broadcast view (OWNDATA=False marks it synthetic
+            # for random_params_device, and no RNG time is spent)
+            return np.broadcast_to(np.zeros(1, dtype), shape)
         scale = scale if scale is not None else 0.5 / np.sqrt(shape[-2] if len(shape) > 1 else shape[-1])
         return (rng.standard_normal(shape) * scale).astype(dtype)
 
@@ -58,11 +102,17 @@ def random_params(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
             return np.full(shape, val, np.float32)
         return rng.uniform(0.0, 1.0, shape).astype(np.float32)
 
-    def lin(inn, out):
-        return Linear(w=np.stack([mat(inn, out) for _ in range(L)]), kind="dense")
+    def stk(arrs):
+        if shapes_only:
+            return np.broadcast_to(np.zeros(1, arrs[0].dtype), (len(arrs),) + arrs[0].shape)
+        return np.stack(arrs)
 
+    def lin(inn, out):
+        return Linear(w=stk([mat(inn, out) for _ in range(L)]), kind="dense")
+
+    emb = mat(V, E, scale=0.02)
     params = {
-        "emb": mat(V, E, scale=0.02).astype(np.float32),
+        "emb": emb if shapes_only else emb.astype(np.float32),
         "ln0_w": vec(E, val=1.0), "ln0_b": vec(E, val=0.0),
         "ln_out_w": vec(E, val=1.0), "ln_out_b": vec(E, val=0.0),
         "head": Linear(w=mat(E, V, scale=0.02), kind="dense"),
@@ -98,7 +148,7 @@ def random_params(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
             maa_x=vec(L, E), maa_w=vec(L, E), maa_k=vec(L, E),
             maa_v=vec(L, E), maa_r=vec(L, E), maa_g=vec(L, E),
             tm_w1=lin(E, 5 * K),
-            tm_w2=np.stack([np.stack([mat(K, E) for _ in range(5)]) for _ in range(L)]),
+            tm_w2=stk([stk([mat(K, E) for _ in range(5)]) for _ in range(L)]),
             decay_base=rng.uniform(-3, 1, (L, E)).astype(np.float32),
             decay_w1=lin(E, D), decay_w2=lin(D, E),
             time_first=vec(L, H, S) * 0.3,
