@@ -1,0 +1,481 @@
+// rwkv_native: native runtime layer for rwkv_tpu.
+//
+// TPU-native equivalent of the reference's C++ IO/loading/quantization core
+// (rwkv_file_format.inc, rwkv_model_loading.inc, rwkv_quantize.inc): the
+// compute path is XLA's job, but file parsing, block-quant (de)coding and
+// streaming quantization are host-side and benefit from mmap + threads.
+//
+// Exposed as a plain C ABI consumed from Python via ctypes
+// (rwkv_tpu/formats/native_loader.py). No Python.h dependency.
+//
+// Quant semantics are bit-exact with ggml's reference quantizers (same
+// rounding rules as rwkv_tpu/formats/quant.py, which is validated against the
+// committed Q5 fixtures byte-for-byte).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <functional>
+#include <string>
+#include <vector>
+#include <thread>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#define RN_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+constexpr uint32_t kMagic = 0x67676d66;
+constexpr int QK = 32;
+
+// ---- fp16 <-> fp32 (IEEE, round-to-nearest-even) ----
+static inline float f16_to_f32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+    uint32_t exp = (h >> 10) & 0x1f;
+    uint32_t man = h & 0x3ffu;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) {
+            bits = sign;
+        } else {  // subnormal
+            exp = 127 - 15 + 1;
+            while (!(man & 0x400u)) { man <<= 1; exp--; }
+            man &= 0x3ffu;
+            bits = sign | (exp << 23) | (man << 13);
+        }
+    } else if (exp == 0x1f) {
+        bits = sign | 0x7f800000u | (man << 13);
+    } else {
+        bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+    }
+    float f;
+    std::memcpy(&f, &bits, 4);
+    return f;
+}
+
+static inline uint16_t f32_to_f16(float f) {
+    uint32_t bits;
+    std::memcpy(&bits, &f, 4);
+    uint32_t sign = (bits >> 16) & 0x8000u;
+    int32_t exp = (int32_t)((bits >> 23) & 0xff) - 127 + 15;
+    uint32_t man = bits & 0x7fffffu;
+    if (((bits >> 23) & 0xff) == 0xff) {  // inf/nan
+        return (uint16_t)(sign | 0x7c00u | (man ? 0x200u : 0));
+    }
+    if (exp >= 0x1f) return (uint16_t)(sign | 0x7c00u);  // overflow -> inf
+    if (exp <= 0) {
+        if (exp < -10) return (uint16_t)sign;  // underflow -> 0
+        man |= 0x800000u;                       // subnormal
+        uint32_t shift = (uint32_t)(14 - exp);
+        uint32_t half = man >> shift;
+        uint32_t rem = man & ((1u << shift) - 1);
+        uint32_t halfway = 1u << (shift - 1);
+        if (rem > halfway || (rem == halfway && (half & 1))) half++;
+        return (uint16_t)(sign | half);
+    }
+    // normal: round mantissa 23 -> 10 bits, ties to even
+    uint32_t half = man >> 13;
+    uint32_t rem = man & 0x1fffu;
+    uint16_t out = (uint16_t)(sign | ((uint32_t)exp << 10) | half);
+    if (rem > 0x1000u || (rem == 0x1000u && (out & 1))) out++;
+    return out;
+}
+
+// ---- format table (rwkv_type enum order, rwkv_file_format.inc:5-24) ----
+struct TypeInfo { const char* name; int block_bytes; bool decodable; };
+static const TypeInfo kTypes[] = {
+    {"FP32", 0, true}, {"FP16", 0, true},
+    {"Q4_0", 18, true}, {"Q4_1", 20, true},
+    {"Q4_1_O", 0, false}, {"Q4_2", 0, false}, {"Q4_3", 0, false},
+    {"Q5_0", 22, true}, {"Q5_1", 24, true}, {"Q8_0", 34, true},
+    {"Q8_1", 0, false},
+    {"Q2_K", 0, false}, {"Q3_K", 0, false}, {"Q4_K", 0, false},
+    {"Q5_K", 0, false}, {"Q6_K", 0, false}, {"Q8_K", 0, false},
+};
+constexpr int kTypeCount = (int)(sizeof(kTypes) / sizeof(kTypes[0]));
+
+static int64_t tensor_nbytes(uint32_t dtype, int64_t n) {
+    if (dtype == 0) return n * 4;
+    if (dtype == 1) return n * 2;
+    if (dtype < (uint32_t)kTypeCount && kTypes[dtype].block_bytes > 0)
+        return (n / QK) * kTypes[dtype].block_bytes;
+    return -1;
+}
+
+struct Tensor {
+    std::string name;
+    uint32_t dtype;
+    uint32_t dims[3];
+    uint32_t dim_count;
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t n_elements;
+};
+
+struct Model {
+    int fd = -1;
+    const uint8_t* map = nullptr;
+    size_t map_size = 0;
+    uint32_t header[6];
+    std::vector<Tensor> tensors;
+    std::string error;
+};
+
+static thread_local std::string g_error;
+
+static int n_threads_default() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? (int)n : 4;
+}
+
+static void parallel_for(int64_t n, int threads, const std::function<void(int64_t, int64_t)>& fn) {
+    if (threads <= 1 || n < 4) { fn(0, n); return; }
+    std::vector<std::thread> pool;
+    int64_t per = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; t++) {
+        int64_t lo = t * per, hi = std::min(n, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back([=, &fn] { fn(lo, hi); });
+    }
+    for (auto& th : pool) th.join();
+}
+
+// ---- dequant (row-major stream of blocks) ----
+static void dequant_blocks(uint32_t dtype, const uint8_t* src, float* dst, int64_t n_blocks) {
+    switch (dtype) {
+        case 2:  // Q4_0: fp16 d, 16B nibbles, value (q-8)*d
+            for (int64_t b = 0; b < n_blocks; b++) {
+                const uint8_t* p = src + b * 18;
+                float d = f16_to_f32(*(const uint16_t*)p);
+                float* o = dst + b * QK;
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (float)((int)(p[2 + j] & 0xF) - 8) * d;
+                    o[j + 16] = (float)((int)(p[2 + j] >> 4) - 8) * d;
+                }
+            }
+            break;
+        case 3:  // Q4_1: d, m
+            for (int64_t b = 0; b < n_blocks; b++) {
+                const uint8_t* p = src + b * 20;
+                float d = f16_to_f32(*(const uint16_t*)p);
+                float m = f16_to_f32(*(const uint16_t*)(p + 2));
+                float* o = dst + b * QK;
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (float)(p[4 + j] & 0xF) * d + m;
+                    o[j + 16] = (float)(p[4 + j] >> 4) * d + m;
+                }
+            }
+            break;
+        case 7:  // Q5_0
+            for (int64_t b = 0; b < n_blocks; b++) {
+                const uint8_t* p = src + b * 22;
+                float d = f16_to_f32(*(const uint16_t*)p);
+                uint32_t qh; std::memcpy(&qh, p + 2, 4);
+                float* o = dst + b * QK;
+                for (int j = 0; j < 16; j++) {
+                    int lo = (p[6 + j] & 0xF) | (int)(((qh >> j) & 1) << 4);
+                    int hi = (p[6 + j] >> 4) | (int)(((qh >> (j + 16)) & 1) << 4);
+                    o[j] = (float)(lo - 16) * d;
+                    o[j + 16] = (float)(hi - 16) * d;
+                }
+            }
+            break;
+        case 8:  // Q5_1
+            for (int64_t b = 0; b < n_blocks; b++) {
+                const uint8_t* p = src + b * 24;
+                float d = f16_to_f32(*(const uint16_t*)p);
+                float m = f16_to_f32(*(const uint16_t*)(p + 2));
+                uint32_t qh; std::memcpy(&qh, p + 4, 4);
+                float* o = dst + b * QK;
+                for (int j = 0; j < 16; j++) {
+                    int lo = (p[8 + j] & 0xF) | (int)(((qh >> j) & 1) << 4);
+                    int hi = (p[8 + j] >> 4) | (int)(((qh >> (j + 16)) & 1) << 4);
+                    o[j] = (float)lo * d + m;
+                    o[j + 16] = (float)hi * d + m;
+                }
+            }
+            break;
+        case 9:  // Q8_0
+            for (int64_t b = 0; b < n_blocks; b++) {
+                const uint8_t* p = src + b * 34;
+                float d = f16_to_f32(*(const uint16_t*)p);
+                const int8_t* q = (const int8_t*)(p + 2);
+                float* o = dst + b * QK;
+                for (int j = 0; j < QK; j++) o[j] = (float)q[j] * d;
+            }
+            break;
+    }
+}
+
+// decode to qmm layout: int8 codes + f32 scale (+ f32 min)
+static void decode_codes_blocks(uint32_t dtype, const uint8_t* src, int8_t* q_out,
+                                float* d_out, float* m_out, int64_t n_blocks) {
+    for (int64_t b = 0; b < n_blocks; b++) {
+        int8_t* o = q_out + b * QK;
+        switch (dtype) {
+            case 2: {
+                const uint8_t* p = src + b * 18;
+                d_out[b] = f16_to_f32(*(const uint16_t*)p);
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (int8_t)((p[2 + j] & 0xF) - 8);
+                    o[j + 16] = (int8_t)((p[2 + j] >> 4) - 8);
+                }
+                break;
+            }
+            case 3: {
+                const uint8_t* p = src + b * 20;
+                d_out[b] = f16_to_f32(*(const uint16_t*)p);
+                m_out[b] = f16_to_f32(*(const uint16_t*)(p + 2));
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (int8_t)(p[4 + j] & 0xF);
+                    o[j + 16] = (int8_t)(p[4 + j] >> 4);
+                }
+                break;
+            }
+            case 7: {
+                const uint8_t* p = src + b * 22;
+                d_out[b] = f16_to_f32(*(const uint16_t*)p);
+                uint32_t qh; std::memcpy(&qh, p + 2, 4);
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (int8_t)(((p[6 + j] & 0xF) | (int)(((qh >> j) & 1) << 4)) - 16);
+                    o[j + 16] = (int8_t)(((p[6 + j] >> 4) | (int)(((qh >> (j + 16)) & 1) << 4)) - 16);
+                }
+                break;
+            }
+            case 8: {
+                const uint8_t* p = src + b * 24;
+                d_out[b] = f16_to_f32(*(const uint16_t*)p);
+                m_out[b] = f16_to_f32(*(const uint16_t*)(p + 2));
+                uint32_t qh; std::memcpy(&qh, p + 4, 4);
+                for (int j = 0; j < 16; j++) {
+                    o[j] = (int8_t)((p[8 + j] & 0xF) | (int)(((qh >> j) & 1) << 4));
+                    o[j + 16] = (int8_t)((p[8 + j] >> 4) | (int)(((qh >> (j + 16)) & 1) << 4));
+                }
+                break;
+            }
+            case 9: {
+                const uint8_t* p = src + b * 34;
+                d_out[b] = f16_to_f32(*(const uint16_t*)p);
+                std::memcpy(o, p + 2, QK);
+                break;
+            }
+        }
+    }
+}
+
+// ---- encoders (bit-exact with ggml reference quantizers) ----
+static void quant_block_q4_0(const float* x, uint8_t* out) {
+    float amax = 0.f, smax = 0.f;
+    for (int j = 0; j < QK; j++) { float v = x[j]; if (amax < std::fabs(v)) { amax = std::fabs(v); smax = v; } }
+    float d = smax / -8.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    *(uint16_t*)out = f32_to_f16(d);
+    for (int j = 0; j < 16; j++) {
+        int lo = (int)(int8_t)(x[j] * id + 8.5f); if (lo > 15) lo = 15; if (lo < 0) lo = 0;
+        int hi = (int)(int8_t)(x[j + 16] * id + 8.5f); if (hi > 15) hi = 15; if (hi < 0) hi = 0;
+        out[2 + j] = (uint8_t)(lo | (hi << 4));
+    }
+}
+
+static void quant_block_q4_1(const float* x, uint8_t* out) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < QK; j++) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 15.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    *(uint16_t*)out = f32_to_f16(d);
+    *(uint16_t*)(out + 2) = f32_to_f16(mn);
+    for (int j = 0; j < 16; j++) {
+        int lo = (int)(int8_t)((x[j] - mn) * id + 0.5f); if (lo > 15) lo = 15; if (lo < 0) lo = 0;
+        int hi = (int)(int8_t)((x[j + 16] - mn) * id + 0.5f); if (hi > 15) hi = 15; if (hi < 0) hi = 0;
+        out[4 + j] = (uint8_t)(lo | (hi << 4));
+    }
+}
+
+static void quant_block_q5_0(const float* x, uint8_t* out) {
+    float amax = 0.f, smax = 0.f;
+    for (int j = 0; j < QK; j++) { float v = x[j]; if (amax < std::fabs(v)) { amax = std::fabs(v); smax = v; } }
+    float d = smax / -16.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    *(uint16_t*)out = f32_to_f16(d);
+    uint32_t qh = 0;
+    for (int j = 0; j < 16; j++) {
+        int lo = (int)(int8_t)(x[j] * id + 16.5f); if (lo > 31) lo = 31; if (lo < 0) lo = 0;
+        int hi = (int)(int8_t)(x[j + 16] * id + 16.5f); if (hi > 31) hi = 31; if (hi < 0) hi = 0;
+        out[6 + j] = (uint8_t)((lo & 0xF) | ((hi & 0xF) << 4));
+        qh |= ((uint32_t)(lo >> 4)) << j;
+        qh |= ((uint32_t)(hi >> 4)) << (j + 16);
+    }
+    std::memcpy(out + 2, &qh, 4);
+}
+
+static void quant_block_q5_1(const float* x, uint8_t* out) {
+    float mn = x[0], mx = x[0];
+    for (int j = 1; j < QK; j++) { mn = std::min(mn, x[j]); mx = std::max(mx, x[j]); }
+    float d = (mx - mn) / 31.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    *(uint16_t*)out = f32_to_f16(d);
+    *(uint16_t*)(out + 2) = f32_to_f16(mn);
+    uint32_t qh = 0;
+    for (int j = 0; j < 16; j++) {
+        int lo = (int)(int8_t)((x[j] - mn) * id + 0.5f); if (lo > 31) lo = 31; if (lo < 0) lo = 0;
+        int hi = (int)(int8_t)((x[j + 16] - mn) * id + 0.5f); if (hi > 31) hi = 31; if (hi < 0) hi = 0;
+        out[8 + j] = (uint8_t)((lo & 0xF) | ((hi & 0xF) << 4));
+        qh |= ((uint32_t)(lo >> 4)) << j;
+        qh |= ((uint32_t)(hi >> 4)) << (j + 16);
+    }
+    std::memcpy(out + 4, &qh, 4);
+}
+
+static void quant_block_q8_0(const float* x, uint8_t* out) {
+    float amax = 0.f;
+    for (int j = 0; j < QK; j++) amax = std::max(amax, std::fabs(x[j]));
+    float d = amax / 127.0f;
+    float id = d != 0.f ? 1.0f / d : 0.0f;
+    *(uint16_t*)out = f32_to_f16(d);
+    int8_t* q = (int8_t*)(out + 2);
+    for (int j = 0; j < QK; j++) q[j] = (int8_t)std::roundf(x[j] * id);
+}
+
+static void quant_rows(uint32_t dtype, const float* x, uint8_t* out, int64_t n_blocks, int threads) {
+    void (*fn)(const float*, uint8_t*) = nullptr;
+    int bb = kTypes[dtype].block_bytes;
+    switch (dtype) {
+        case 2: fn = quant_block_q4_0; break;
+        case 3: fn = quant_block_q4_1; break;
+        case 7: fn = quant_block_q5_0; break;
+        case 8: fn = quant_block_q5_1; break;
+        case 9: fn = quant_block_q8_0; break;
+        default: return;
+    }
+    parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; b++) fn(x + b * QK, out + b * bb);
+    });
+}
+
+}  // namespace
+
+// ============================ C API ============================
+
+RN_API const char* rn_last_error() { return g_error.c_str(); }
+
+RN_API void* rn_open(const char* path) {
+    Model* m = new Model();
+    m->fd = open(path, O_RDONLY);
+    if (m->fd < 0) { g_error = std::string("open failed: ") + path; delete m; return nullptr; }
+    struct stat st;
+    if (fstat(m->fd, &st) != 0) { g_error = "fstat failed"; close(m->fd); delete m; return nullptr; }
+    m->map_size = (size_t)st.st_size;
+    m->map = (const uint8_t*)mmap(nullptr, m->map_size, PROT_READ, MAP_PRIVATE, m->fd, 0);
+    if (m->map == MAP_FAILED) { g_error = "mmap failed"; close(m->fd); delete m; return nullptr; }
+    if (m->map_size < 24) { g_error = "truncated header"; munmap((void*)m->map, m->map_size); close(m->fd); delete m; return nullptr; }
+    std::memcpy(m->header, m->map, 24);
+    if (m->header[0] != kMagic) { g_error = "bad magic"; munmap((void*)m->map, m->map_size); close(m->fd); delete m; return nullptr; }
+    if (m->header[1] < 100 || m->header[1] > 101) { g_error = "unsupported file version"; munmap((void*)m->map, m->map_size); close(m->fd); delete m; return nullptr; }
+
+    size_t off = 24;
+    while (off < m->map_size) {
+        if (off + 12 > m->map_size) { g_error = "truncated tensor header"; break; }
+        uint32_t hd[3];
+        std::memcpy(hd, m->map + off, 12);
+        off += 12;
+        uint32_t dim_count = hd[0], key_len = hd[1], dtype = hd[2];
+        if (dim_count < 1 || dim_count > 3 || dtype >= (uint32_t)kTypeCount || !kTypes[dtype].decodable) {
+            g_error = "invalid tensor header"; break;
+        }
+        Tensor t;
+        t.dtype = dtype;
+        t.dim_count = dim_count;
+        t.dims[0] = t.dims[1] = t.dims[2] = 1;
+        if (off + 4 * dim_count + key_len > m->map_size) { g_error = "truncated tensor dims"; break; }
+        std::memcpy(t.dims, m->map + off, 4 * dim_count);
+        off += 4 * dim_count;
+        t.name.assign((const char*)(m->map + off), key_len);
+        off += key_len;
+        t.n_elements = (int64_t)t.dims[0] * t.dims[1] * t.dims[2];
+        t.nbytes = tensor_nbytes(dtype, t.n_elements);
+        if (t.nbytes < 0 || off + (size_t)t.nbytes > m->map_size) { g_error = "truncated tensor data"; break; }
+        t.data = m->map + off;
+        off += (size_t)t.nbytes;
+        m->tensors.push_back(std::move(t));
+    }
+    if (off != m->map_size) {
+        munmap((void*)m->map, m->map_size); close(m->fd); delete m; return nullptr;
+    }
+    return m;
+}
+
+RN_API void rn_close(void* h) {
+    Model* m = (Model*)h;
+    if (!m) return;
+    if (m->map) munmap((void*)m->map, m->map_size);
+    if (m->fd >= 0) close(m->fd);
+    delete m;
+}
+
+RN_API void rn_header(void* h, uint32_t* out6) { std::memcpy(out6, ((Model*)h)->header, 24); }
+RN_API int64_t rn_tensor_count(void* h) { return (int64_t)((Model*)h)->tensors.size(); }
+RN_API const char* rn_tensor_name(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].name.c_str(); }
+RN_API uint32_t rn_tensor_dtype(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].dtype; }
+RN_API uint32_t rn_tensor_dim_count(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].dim_count; }
+RN_API void rn_tensor_dims(void* h, int64_t i, uint32_t* out3) { std::memcpy(out3, ((Model*)h)->tensors[(size_t)i].dims, 12); }
+RN_API int64_t rn_tensor_nbytes(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].nbytes; }
+RN_API int64_t rn_tensor_elements(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].n_elements; }
+RN_API const void* rn_tensor_raw(void* h, int64_t i) { return ((Model*)h)->tensors[(size_t)i].data; }
+
+// Dequantize tensor i to float32 (row-major), multithreaded.
+RN_API int rn_tensor_f32(void* h, int64_t i, float* out, int threads) {
+    Model* m = (Model*)h;
+    const Tensor& t = m->tensors[(size_t)i];
+    if (threads <= 0) threads = n_threads_default();
+    if (t.dtype == 0) {
+        std::memcpy(out, t.data, (size_t)t.n_elements * 4);
+        return 0;
+    }
+    if (t.dtype == 1) {
+        const uint16_t* src = (const uint16_t*)t.data;
+        parallel_for(t.n_elements, threads, [&](int64_t lo, int64_t hi) {
+            for (int64_t j = lo; j < hi; j++) out[j] = f16_to_f32(src[j]);
+        });
+        return 0;
+    }
+    int bb = kTypes[t.dtype].block_bytes;
+    int64_t n_blocks = t.n_elements / QK;
+    parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
+        dequant_blocks(t.dtype, t.data + lo * bb, out + lo * QK, hi - lo);
+    });
+    return 0;
+}
+
+// Decode quantized tensor i to (int8 codes, f32 scales, f32 mins) qmm layout.
+RN_API int rn_tensor_codes(void* h, int64_t i, int8_t* q, float* d, float* mn, int threads) {
+    Model* m = (Model*)h;
+    const Tensor& t = m->tensors[(size_t)i];
+    if (t.dtype < 2) { g_error = "not a quantized tensor"; return -1; }
+    if (threads <= 0) threads = n_threads_default();
+    int bb = kTypes[t.dtype].block_bytes;
+    int64_t n_blocks = t.n_elements / QK;
+    parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
+        decode_codes_blocks(t.dtype, t.data + lo * bb, q + lo * QK, d + lo,
+                            mn ? mn + lo : nullptr, hi - lo);
+    });
+    return 0;
+}
+
+// Quantize an f32 buffer into `fmt` blocks (bit-exact with ggml).
+RN_API int64_t rn_quantize(const float* x, int64_t n, uint32_t dtype, uint8_t* out, int threads) {
+    if (dtype >= (uint32_t)kTypeCount || kTypes[dtype].block_bytes == 0) { g_error = "bad quant dtype"; return -1; }
+    if (n % QK) { g_error = "element count not divisible by 32"; return -1; }
+    if (threads <= 0) threads = n_threads_default();
+    quant_rows(dtype, x, out, n / QK, threads);
+    return (n / QK) * kTypes[dtype].block_bytes;
+}
+
+RN_API int rn_block_bytes(uint32_t dtype) {
+    return dtype < (uint32_t)kTypeCount ? kTypes[dtype].block_bytes : -1;
+}

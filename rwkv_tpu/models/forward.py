@@ -40,18 +40,21 @@ def _use_pallas(explicit) -> bool:
 
 
 def _wkv7(r, w, k, v, a, b, heads, valid, pallas):
-    if _use_pallas(pallas):
-        from rwkv_tpu.ops.pallas_wkv import wkv7_masked
+    if _use_pallas(pallas) and r.shape[0] >= 16:
+        # prefill: chunk-parallel MXU formulation (ops/wkv_chunked.py);
+        # decode (small T) keeps the XLA scan — measured faster than the
+        # sequential Pallas kernel at T=1 (7.1 vs 8.3 ms/step on v5e)
+        from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_masked
 
-        return wkv7_masked(r, w, k, v, a, b, heads, valid)
+        return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid)
     return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
 
 
 def _wkv56(r, k, v, tf, w, heads, valid, pallas):
-    if _use_pallas(pallas):
-        from rwkv_tpu.ops.pallas_wkv import wkv6_masked
+    if _use_pallas(pallas) and r.shape[0] >= 16:
+        from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_masked
 
-        return wkv6_masked(r, k, v, tf, w, heads, valid)
+        return wkv6_chunked_masked(r, k, v, tf, w, heads, valid)
     return wkv_ops.wkv56(r, k, v, tf, w, heads, valid)
 
 

@@ -48,6 +48,9 @@ class Linear:
         if self.kind == "quant":
             *_, o, nb, _ = self.q.shape
             return (nb * QK, o)
+        if self.kind == "qfast":
+            *_, o, inn = self.q.shape
+            return (inn, o)
         return self.w.shape[-2:]
 
 
@@ -76,19 +79,23 @@ def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
     q, d, m = qcodec.decode_blocks(rec.type_name, rec.data)
     out, inn = rec.numpy_shape
     nb = inn // QK
-    lin = Linear(
+    if not parity:
+        # fast path: codes stay packed (int8) in HBM; matmul runs through the
+        # fused dequant-matmul kernel (ops/qmm.py) on TPU
+        return Linear(
+            q=np.ascontiguousarray(q.reshape(out, inn)),
+            d=np.ascontiguousarray(d.reshape(out, nb)),
+            m=None if m is None else np.ascontiguousarray(m.reshape(out, nb)),
+            kind="qfast",
+            fmt=rec.type_name,
+        )
+    return Linear(
         q=q.reshape(out, nb, QK),
         d=d.reshape(out, nb),
         m=None if m is None else m.reshape(out, nb),
         kind="quant",
         fmt=rec.type_name,
     )
-    if not parity:
-        # fast path currently dequantizes to dense at load; the fused
-        # Pallas dequant-matmul path replaces this for big models (ops/qmm.py)
-        w = qcodec.dequantize(rec.type_name, rec.data, (out, inn)).T
-        return Linear(w=np.ascontiguousarray(w.astype(np.dtype(dense_dtype))), kind="dense")
-    return lin
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +145,12 @@ def matmul(x, lin: Linear):
         return jnp.dot(x.astype(jnp.float16), lin.w, preferred_element_type=jnp.float32)
     if lin.kind == "quant":
         return _matmul_quant_parity(x, lin)
+    if lin.kind == "qfast":
+        from rwkv_tpu.ops import qmm
+
+        if jax.default_backend() == "tpu":
+            return qmm.qmm(x, lin.q, lin.d, lin.m)
+        return qmm.qmm_reference(x, lin.q, lin.d, lin.m)
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
@@ -149,16 +162,16 @@ def stack(lins: list) -> Linear:
     """
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
-    if len(kinds) > 1 or (kinds == {"quant"} and len(fmts) > 1):
+    if len(kinds) > 1 or (kinds <= {"quant", "qfast"} and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
     k = lins[0].kind
-    if k == "quant":
+    if k in ("quant", "qfast"):
         return Linear(
             q=np.stack([l.q for l in lins]),
             d=np.stack([l.d for l in lins]),
             m=None if lins[0].m is None else np.stack([l.m for l in lins]),
-            kind="quant",
+            kind=k,
             fmt=lins[0].fmt,
         )
     return Linear(w=np.stack([l.w for l in lins]), kind=k)
@@ -169,9 +182,14 @@ def to_dense_f32(lin: Linear) -> Linear:
         return lin
     if lin.kind in ("dense", "f16"):
         return Linear(w=np.asarray(lin.w, dtype=np.float32), kind="dense")
-    w = np.asarray(lin.q, np.float32) * np.asarray(lin.d, np.float32)[..., None]
+    if lin.kind == "qfast":
+        *lead, o, inn = lin.q.shape
+        q = np.asarray(lin.q).reshape(*lead, o, inn // QK, QK)
+    else:
+        q = np.asarray(lin.q)
+        o = q.shape[-3]
+    w = q.astype(np.float32) * np.asarray(lin.d, np.float32)[..., None]
     if lin.m is not None:
         w = w + np.asarray(lin.m, np.float32)[..., None]
-    o = lin.q.shape[-3]
-    w = w.reshape(*lin.q.shape[:-3], o, -1)
+    w = w.reshape(*w.shape[:-3], w.shape[-3], -1)
     return Linear(w=np.ascontiguousarray(np.swapaxes(w, -1, -2)), kind="dense")
