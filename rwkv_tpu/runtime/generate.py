@@ -38,6 +38,46 @@ def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
     return toks.T, state
 
 
+@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"))
+def sampled_decode(
+    params,
+    cfg: ModelConfig,
+    tokens0,
+    state,
+    key,
+    steps: int,
+    temperature: float = 1.0,
+    top_p: float = 0.8,
+    top_k: int = 512,
+):
+    """Temperature + nucleus sampling fully on device (reference semantics
+    from sampling.py:10-52, with the nucleus evaluated inside a top-k window —
+    exact whenever the nucleus holds fewer than top_k tokens, which it does
+    for any practical top_p).
+
+    tokens0: (B,) int32; key: jax PRNG key. Returns (tokens (B, steps), state).
+    """
+
+    def step(carry, k):
+        tok, st = carry
+        logits, st = fwd.forward_batch(
+            params, cfg, tok[:, None], st, jnp.ones_like(tok), compute_logits=True
+        )
+        vals, idx = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))  # sorted desc
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (inclusive)
+        keep = (cum - probs) < top_p
+        logp = jnp.where(keep, vals, -jnp.inf) / jnp.maximum(temperature, 1e-6)
+        choice = jax.random.categorical(k, logp, axis=-1)   # (B,)
+        nxt = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        return (nxt, st), nxt
+
+    keys = jax.random.split(key, steps)
+    (_, state), toks = jax.lax.scan(step, (tokens0, state), keys)
+    return toks.T, state
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def prefill(params, cfg: ModelConfig, tokens, state, lengths):
     """Batched chunk prefill: tokens (B, T), returns (last_logits (B, V), state)."""
