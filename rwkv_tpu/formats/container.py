@@ -49,10 +49,17 @@ TYPE_NAMES = [
 ]
 TYPE_INDEX = {n: i for i, n in enumerate(TYPE_NAMES)}
 REMOVED_TYPES = {"Q4_1_O", "Q4_2", "Q4_3"}
-# formats this framework can actually decode (K-quants are recognized but
-# not implemented yet; loading one raises a clear error)
-DECODABLE_TYPES = {"FP32", "FP16", "Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0"}
+# formats this framework can decode (legacy 32-block + K-quant super-block;
+# Q8_1 is activation-only in ggml and never appears in files)
+DECODABLE_TYPES = {
+    "FP32", "FP16", "Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0",
+    "Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K", "Q8_K",
+}
 QUANTIZED_TYPES = set(quant.QUANT_FORMATS)
+# valid targets for the quantizer (reference: rwkv.h:212-217 lists the legacy
+# five; the Python binding adds Q4_K/Q5_K, rwkv_cpp_shared_library.py:8-16;
+# we expose every encodable K-quant)
+QUANT_TARGETS = tuple(quant.QUANT_FORMATS) + ("Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K")
 
 
 def type_is_quantized(name: str) -> bool:

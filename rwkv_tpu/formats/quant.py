@@ -218,7 +218,12 @@ def decode_blocks(fmt: str, raw: bytes | np.ndarray):
 
 def dequantize(fmt: str, raw: bytes | np.ndarray, shape) -> np.ndarray:
     """Raw block bytes -> float32 array of `shape` (row-major), bit-exact vs
-    ggml's dequantize_row_* (reference format table rwkv_file_format.inc:28-67)."""
+    ggml's dequantize_row_* (reference format table rwkv_file_format.inc:28-67).
+    K-quant super-block formats dispatch to formats/kquant.py."""
+    if fmt.endswith("_K"):
+        from rwkv_tpu.formats import kquant
+
+        return kquant.dequantize(fmt, raw, shape)
     q, d, m = decode_blocks(fmt, raw)
     x = q.astype(np.float32) * d[:, None]
     if m is not None:
@@ -227,6 +232,10 @@ def dequantize(fmt: str, raw: bytes | np.ndarray, shape) -> np.ndarray:
 
 
 def quantize(fmt: str, x: np.ndarray) -> bytes:
+    if fmt.endswith("_K"):
+        from rwkv_tpu.formats import kquant
+
+        return kquant.quantize(fmt, x)
     return {
         "Q4_0": quantize_q4_0,
         "Q4_1": quantize_q4_1,
@@ -236,12 +245,27 @@ def quantize(fmt: str, x: np.ndarray) -> bytes:
     }[fmt](x)
 
 
+def decode_blocks_grouped(fmt: str, raw):
+    """Uniform structured decode across all quant families:
+    (q int8 (n//g, g), d f32 (n//g,), m f32 (n//g,)|None, group_size g)."""
+    if fmt.endswith("_K"):
+        from rwkv_tpu.formats import kquant
+
+        return kquant.decode_blocks(fmt, raw)
+    q, d, m = decode_blocks(fmt, raw)
+    return q, d, m, QK
+
+
 def tensor_nbytes(fmt_or_dtype: str, n_elements: int) -> int:
     """Size on disk of a tensor (mirrors rwkv_tensor_nbytes, rwkv_utilities.inc:1-9)."""
     if fmt_or_dtype == "FP32":
         return 4 * n_elements
     if fmt_or_dtype == "FP16":
         return 2 * n_elements
+    if fmt_or_dtype.endswith("_K"):
+        from rwkv_tpu.formats import kquant
+
+        return kquant.tensor_nbytes(fmt_or_dtype, n_elements)
     if fmt_or_dtype in BLOCK_NBYTES:
         if n_elements % QK != 0:
             raise ValueError(f"{n_elements} elements not divisible by {QK}")

@@ -24,8 +24,23 @@ def tensor_needs_quant(name: str) -> bool:
     return True
 
 
+# when a K-quant target can't apply to a tensor (row length not divisible by
+# the 256-element super-block), fall back to the closest legacy format —
+# ggml_quantize_chunk would refuse such tensors outright
+K_FALLBACK = {"Q2_K": "Q4_0", "Q3_K": "Q4_0", "Q4_K": "Q4_1", "Q5_K": "Q5_1", "Q6_K": "Q8_0"}
+
+
+def _target_for(rec, format_name: str) -> str:
+    if format_name.endswith("_K"):
+        from rwkv_tpu.formats.kquant import QK_K
+
+        if rec.dims[0] % QK_K != 0:
+            return K_FALLBACK[format_name]
+    return format_name
+
+
 def quantize_model_file(in_path: str, out_path: str, format_name: str, verbose: bool = False) -> None:
-    if format_name not in quant.QUANT_FORMATS:
+    if format_name not in container.QUANT_TARGETS:
         raise RWKVArgsError(f"Unsupported output data type ({format_name})")
 
     header = container.read_model_header(in_path)
@@ -55,12 +70,13 @@ def quantize_model_file(in_path: str, out_path: str, format_name: str, verbose: 
                 and tensor_needs_quant(rec.name)
             ):
                 f32 = rec.to_float32()
-                data = quant.quantize(format_name, np.ascontiguousarray(f32))
+                target = _target_for(rec, format_name)
+                data = quant.quantize(target, np.ascontiguousarray(f32))
                 rec = container.RWKVTensorRecord(
-                    name=rec.name, dims=rec.dims, type_name=format_name, data=data
+                    name=rec.name, dims=rec.dims, type_name=target, data=data
                 )
                 if verbose:
-                    print(f"{rec.name}: {rec.dims} -> {format_name} "
+                    print(f"{rec.name}: {rec.dims} -> {target} "
                           f"{orig_size/1e6:.2f}MB -> {len(rec.data)/1e6:.2f}MB")
             container.write_tensor_record(out_f, rec)
             orig_total += orig_size

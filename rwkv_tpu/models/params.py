@@ -73,8 +73,15 @@ class _Source:
             native = native_loader.available()
         if native:
             from rwkv_tpu.formats import native_loader
+            from rwkv_tpu.runtime.errors import RWKVFileError
 
-            self.nf = native_loader.NativeModelFile(path)
+            try:
+                self.nf = native_loader.NativeModelFile(path)
+            except RWKVFileError:
+                # e.g. K-quant tensors the C++ decoder doesn't handle;
+                # the Python reader decodes every supported format
+                self.nf = None
+        if self.nf is not None:
             self.header = self.nf.header
             self.names = set(self.nf.names)
             self.tensors = None

@@ -61,6 +61,11 @@ jax.tree_util.register_dataclass(
 )
 
 
+def group_of(fmt: str) -> int:
+    """Sub-block granularity of a quant format's scales (elements per scale)."""
+    return 16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32
+
+
 def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
     """Build a Linear from a file tensor record (2D, numpy shape (out, in))."""
     if rec.type_name == "FP32":
@@ -76,9 +81,16 @@ def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
             w = w.astype(np.dtype(dense_dtype))
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     # quantized
-    q, d, m = qcodec.decode_blocks(rec.type_name, rec.data)
+    q, d, m, g = qcodec.decode_blocks_grouped(rec.type_name, rec.data)
     out, inn = rec.numpy_shape
-    nb = inn // QK
+    nb = inn // g
+    if parity and rec.type_name.endswith("_K"):
+        # K-quants have no ggml-int-dot golden oracles in the reference test
+        # suite (fixtures are Q5_0/Q5_1 only), and the legacy 'quant' int-dot
+        # emulation doesn't model their min terms; parity mode uses exact
+        # dequantized weights with a plain f32 matmul
+        w = qcodec.dequantize(rec.type_name, rec.data, (out, inn)).T
+        return Linear(w=np.ascontiguousarray(w), kind="dense")
     if not parity:
         # fast path: codes stay packed (int8) in HBM; matmul runs through the
         # fused dequant-matmul kernel (ops/qmm.py) on TPU
@@ -148,9 +160,10 @@ def matmul(x, lin: Linear):
     if lin.kind == "qfast":
         from rwkv_tpu.ops import qmm
 
+        g = group_of(lin.fmt)
         if jax.default_backend() == "tpu":
-            return qmm.qmm(x, lin.q, lin.d, lin.m)
-        return qmm.qmm_reference(x, lin.q, lin.d, lin.m)
+            return qmm.qmm(x, lin.q, lin.d, lin.m, group=g)
+        return qmm.qmm_reference(x, lin.q, lin.d, lin.m, group=g)
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
@@ -184,7 +197,8 @@ def to_dense_f32(lin: Linear) -> Linear:
         return Linear(w=np.asarray(lin.w, dtype=np.float32), kind="dense")
     if lin.kind == "qfast":
         *lead, o, inn = lin.q.shape
-        q = np.asarray(lin.q).reshape(*lead, o, inn // QK, QK)
+        g = group_of(lin.fmt)
+        q = np.asarray(lin.q).reshape(*lead, o, inn // g, g)
     else:
         q = np.asarray(lin.q)
         o = q.shape[-3]

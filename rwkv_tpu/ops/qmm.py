@@ -31,15 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 QK = 32
 
 
-def _expand_blocks(d, it):
-    """(nb, OT) f32 -> (OT, IT): each per-block value spans its 32 lanes.
+def _expand_blocks(d, it, g=QK):
+    """(nb, OT) f32 -> (OT, IT): each per-block value spans its g lanes.
     pltpu.repeat tiles (not element-repeat), so expand via a one-hot matmul
     contracting the block axis — MXU-friendly and needs no transposes
     (scales are stored block-major (nb, out) for exactly this reason)."""
     nb = d.shape[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, it), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (nb, it), 1)
-    onehot = (cols // QK == rows).astype(jnp.float32)
+    onehot = (cols // g == rows).astype(jnp.float32)
     return jax.lax.dot_general(
         d, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -47,7 +47,7 @@ def _expand_blocks(d, it):
     )
 
 
-def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, dot_dtype):
+def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, dot_dtype, group):
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -55,10 +55,10 @@ def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, dot_dtype):
     q = q_ref[...]  # (OT, IT) int8
     it = q.shape[1]
     if with_min:
-        w = q.astype(jnp.float32) * _expand_blocks(d_ref[:, :, 0], it) \
-            + _expand_blocks(d_ref[:, :, 1], it)
+        w = q.astype(jnp.float32) * _expand_blocks(d_ref[:, :, 0], it, group) \
+            + _expand_blocks(d_ref[:, :, 1], it, group)
     else:
-        w = q.astype(jnp.float32) * _expand_blocks(d_ref[...], it)
+        w = q.astype(jnp.float32) * _expand_blocks(d_ref[...], it, group)
     x = x_ref[...]  # (T, IT)
     acc_ref[...] += jax.lax.dot_general(
         x.astype(dot_dtype),
@@ -73,9 +73,10 @@ def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, dot_dtype):
         o_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("out_tile", "in_tile", "dot_dtype"))
-def qmm(x, q, d, m=None, out_tile: int = 256, in_tile: int = 512, dot_dtype=jnp.float32):
-    """x: (T, in) f32; q: (out, in) int8; d[, m]: (out, in//32) f32.
+@functools.partial(jax.jit, static_argnames=("out_tile", "in_tile", "dot_dtype", "group"))
+def qmm(x, q, d, m=None, out_tile: int = 256, in_tile: int = 512, dot_dtype=jnp.float32,
+        group: int = QK):
+    """x: (T, in) f32; q: (out, in) int8; d[, m]: (out, in//group) f32.
     Returns (T, out) f32."""
     t, inn = x.shape
     out = q.shape[0]
@@ -85,22 +86,22 @@ def qmm(x, q, d, m=None, out_tile: int = 256, in_tile: int = 512, dot_dtype=jnp.
     IT = min(in_tile, inn)
     while inn % IT:
         IT //= 2
-    if IT % QK:
-        raise ValueError(f"in_tile {IT} not a multiple of {QK}")
+    if IT % group:
+        raise ValueError(f"in_tile {IT} not a multiple of {group}")
 
     with_min = m is not None
-    # scales block-major (nb, out) tile cleanly: (IT//32, OT) has sublane
-    # IT//32 >= 8 for IT >= 256 and lane OT % 128 == 0
+    # scales block-major (nb, out) tile cleanly: (IT//group, OT) has sublane
+    # IT//group >= 8 for IT >= 256 and lane OT % 128 == 0
     if with_min:
         dm = jnp.stack([jnp.swapaxes(d, 0, 1), jnp.swapaxes(m, 0, 1)], axis=-1)
-        d_spec = pl.BlockSpec((IT // QK, OT, 2), lambda o, i: (i, o, 0), memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((IT // group, OT, 2), lambda o, i: (i, o, 0), memory_space=pltpu.VMEM)
     else:
         dm = jnp.swapaxes(d, 0, 1)
-        d_spec = pl.BlockSpec((IT // QK, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((IT // group, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM)
 
     grid = (out // OT, inn // IT)
     y = pl.pallas_call(
-        functools.partial(_qmm_kernel, with_min=with_min, dot_dtype=dot_dtype),
+        functools.partial(_qmm_kernel, with_min=with_min, dot_dtype=dot_dtype, group=group),
         grid=grid,
         in_specs=[
             pl.BlockSpec((t, IT), lambda o, i: (0, i), memory_space=pltpu.VMEM),
@@ -125,10 +126,10 @@ def repack_for_qmm(q_codes: np.ndarray, d: np.ndarray, m):
     )
 
 
-def qmm_reference(x, q, d, m=None):
+def qmm_reference(x, q, d, m=None, group: int = QK):
     """jnp fallback (CPU / non-TPU): identical math, XLA-fused."""
     out, inn = q.shape
-    w = q.astype(jnp.float32).reshape(out, inn // QK, QK) * d[..., None]
+    w = q.astype(jnp.float32).reshape(out, inn // group, group) * d[..., None]
     if m is not None:
         w = w + m[..., None]
     return jnp.dot(x, w.reshape(out, inn).T, preferred_element_type=jnp.float32,

@@ -5,7 +5,7 @@ Usage: python -m rwkv_tpu.tools.quantize IN.bin OUT.bin Q5_1
 
 import argparse
 
-from rwkv_tpu.formats import quant
+from rwkv_tpu.formats import container
 from rwkv_tpu.formats.quantize import quantize_model_file
 
 
@@ -13,7 +13,7 @@ def main():
     p = argparse.ArgumentParser(description="Quantize an RWKV model file")
     p.add_argument("src_path")
     p.add_argument("dest_path")
-    p.add_argument("format_name", choices=list(quant.QUANT_FORMATS))
+    p.add_argument("format_name", choices=list(container.QUANT_TARGETS))
     args = p.parse_args()
     quantize_model_file(args.src_path, args.dest_path, args.format_name, verbose=True)
 

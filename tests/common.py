@@ -42,3 +42,39 @@ def assert_diff_ok(diff_sum: float, expected_sum: float, what: str = ""):
         f"{what}: logit difference sum {diff_sum:+.6f} exceeds "
         f"|{expected_sum:+.6f}| * 1.05"
     )
+
+
+def make_v7_state_dict(E=64, V=256, L=2, D=32, seed=0):
+    """Synthetic RWKV-7 PyTorch-style state dict (converter input layout)."""
+    rng = np.random.default_rng(seed)
+    sd = {"emb.weight": rng.standard_normal((V, E)).astype(np.float32) * 0.1}
+    sd["blocks.0.ln0.weight"] = np.ones(E, np.float32)
+    sd["blocks.0.ln0.bias"] = np.zeros(E, np.float32)
+    for i in range(L):
+        p = f"blocks.{i}."
+        sd[p + "ln1.weight"] = np.ones(E, np.float32)
+        sd[p + "ln1.bias"] = np.zeros(E, np.float32)
+        sd[p + "ln2.weight"] = np.ones(E, np.float32)
+        sd[p + "ln2.bias"] = np.zeros(E, np.float32)
+        for nm in ("x_r", "x_w", "x_k", "x_v", "x_a", "x_g"):
+            sd[p + f"att.{nm}"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        for nm in ("w", "a", "g", "v"):
+            sd[p + f"att.{nm}1"] = rng.standard_normal((E, D)).astype(np.float32) * 0.1
+            sd[p + f"att.{nm}2"] = rng.standard_normal((D, E)).astype(np.float32) * 0.1
+        sd[p + "att.w0"] = rng.uniform(-2, 0, (1, 1, E)).astype(np.float32)
+        sd[p + "att.a0"] = np.zeros((1, 1, E), np.float32)
+        sd[p + "att.v0"] = np.zeros((1, 1, E), np.float32)
+        sd[p + "att.k_k"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "att.k_a"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "att.r_k"] = rng.standard_normal((1, E)).astype(np.float32) * 0.1
+        for nm in ("key", "value", "receptance", "output"):
+            sd[p + f"att.{nm}.weight"] = rng.standard_normal((E, E)).astype(np.float32) * 0.1
+        sd[p + "att.ln_x.weight"] = np.ones(E, np.float32)
+        sd[p + "att.ln_x.bias"] = np.zeros(E, np.float32)
+        sd[p + "ffn.x_k"] = rng.uniform(0, 1, (1, 1, E)).astype(np.float32)
+        sd[p + "ffn.key.weight"] = rng.standard_normal((4 * E, E)).astype(np.float32) * 0.1
+        sd[p + "ffn.value.weight"] = rng.standard_normal((E, 4 * E)).astype(np.float32) * 0.1
+    sd["ln_out.weight"] = np.ones(E, np.float32)
+    sd["ln_out.bias"] = np.zeros(E, np.float32)
+    sd["head.weight"] = rng.standard_normal((V, E)).astype(np.float32) * 0.1
+    return sd

@@ -1,0 +1,202 @@
+"""K-quant codec tests: format self-consistency, error bounds, structured
+decode, qmm integration, and end-to-end tiny-model quantize->eval.
+
+There are no K-quant fixtures in the reference test suite (fixtures are
+Q5_0/Q5_1 only), so these tests pin the formats via:
+  1. encode->decode->encode fixed point (the codec is a stable function of
+     the dequantized values it produces),
+  2. quantization error bounds ordered by bit width,
+  3. grouped structured decode == full dequantize,
+  4. end-to-end: tiny model quantized to each K format still produces
+     logits close to the FP32 model's.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from rwkv_tpu.formats import container, kquant, quant
+from tests.common import PROMPT, fixture
+
+RNG = np.random.default_rng(1234)
+
+
+def _sample(n=4 * kquant.QK_K):
+    # mix of smooth + outliers, the regime the sub-block scales exist for
+    x = RNG.normal(size=n).astype(np.float32)
+    x[:: kquant.QK_K // 4] *= 7.5
+    return x
+
+
+@pytest.mark.parametrize("fmt", kquant.ENCODABLE)
+def test_roundtrip_stability(fmt):
+    x = _sample()
+    raw1 = kquant.quantize(fmt, x)
+    # deterministic encoder
+    assert kquant.quantize(fmt, x) == raw1
+    y1 = kquant.dequantize(fmt, raw1, x.shape)
+    y2 = kquant.dequantize(fmt, kquant.quantize(fmt, y1), x.shape)
+    # two-level quantizers aren't exact fixed points (the scale grid search
+    # can re-decide on requantized values — ggml behaves the same), but the
+    # re-encode perturbation must be far below the quantization error itself
+    err_q = np.sqrt(np.mean((y1 - x) ** 2))
+    err_rt = np.sqrt(np.mean((y2 - y1) ** 2))
+    assert err_rt < 0.25 * err_q, f"{fmt}: requantize drift {err_rt:.5f} vs quant err {err_q:.5f}"
+
+
+@pytest.mark.parametrize(
+    # bounds ~15% above the measured RMSE on N(0,1) data, which itself matches
+    # uniform-quantization theory for each bit width / group size
+    "fmt,max_rel_rmse",
+    [("Q2_K", 0.34), ("Q3_K", 0.18), ("Q4_K", 0.085), ("Q5_K", 0.042), ("Q6_K", 0.021)],
+)
+def test_error_bounds(fmt, max_rel_rmse):
+    x = RNG.normal(size=16 * kquant.QK_K).astype(np.float32)
+    y = kquant.dequantize(fmt, kquant.quantize(fmt, x), x.shape)
+    rel = np.sqrt(np.mean((y - x) ** 2)) / np.sqrt(np.mean(x**2))
+    assert rel < max_rel_rmse, f"{fmt}: relative RMSE {rel:.4f}"
+
+
+def test_error_monotone_in_bits():
+    x = RNG.normal(size=32 * kquant.QK_K).astype(np.float32)
+    errs = {}
+    for fmt in kquant.ENCODABLE:
+        y = kquant.dequantize(fmt, kquant.quantize(fmt, x), x.shape)
+        errs[fmt] = float(np.sqrt(np.mean((y - x) ** 2)))
+    assert errs["Q2_K"] > errs["Q3_K"] > errs["Q4_K"] > errs["Q5_K"] > errs["Q6_K"]
+
+
+@pytest.mark.parametrize("fmt", kquant.KQUANT_FORMATS)
+def test_block_nbytes(fmt):
+    # size formula matches the struct layouts
+    assert kquant.tensor_nbytes(fmt, kquant.QK_K) == kquant.BLOCK_NBYTES[fmt]
+    assert quant.tensor_nbytes(fmt, 4 * kquant.QK_K) == 4 * kquant.BLOCK_NBYTES[fmt]
+
+
+@pytest.mark.parametrize("fmt", kquant.ENCODABLE)
+def test_decode_blocks_grouped_matches_dequant(fmt):
+    x = _sample()
+    raw = kquant.quantize(fmt, x)
+    q, d, m, g = quant.decode_blocks_grouped(fmt, raw)
+    y = q.astype(np.float32) * d[:, None]
+    if m is not None:
+        y = y + m[:, None]
+    np.testing.assert_allclose(
+        y.reshape(-1), kquant.dequantize(fmt, raw, x.shape), rtol=0, atol=1e-6
+    )
+    assert g == (16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32)
+
+
+def test_q8_k_decode():
+    nsb = 3
+    d = RNG.normal(size=nsb).astype(np.float32)
+    q = RNG.integers(-127, 128, size=(nsb, 256)).astype(np.int8)
+    blocks = []
+    for i in range(nsb):
+        bsums = q[i].reshape(16, 16).sum(axis=1).astype(np.int16)
+        blocks.append(d[i].tobytes() + q[i].tobytes() + bsums.tobytes())
+    raw = b"".join(blocks)
+    y = kquant.dequantize_q8_k(raw)
+    np.testing.assert_allclose(y, d[:, None] * q.astype(np.float32), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_qmm_reference_kquant(fmt):
+    from rwkv_tpu.ops import qmm
+
+    out, inn = 8, 2 * kquant.QK_K
+    w = RNG.normal(size=(out, inn)).astype(np.float32)
+    raw = kquant.quantize(fmt, w)
+    q, d, m, g = quant.decode_blocks_grouped(fmt, raw)
+    x = RNG.normal(size=(4, inn)).astype(np.float32)
+    y = np.asarray(
+        qmm.qmm_reference(
+            x,
+            q.reshape(out, inn),
+            d.reshape(out, inn // g),
+            None if m is None else m.reshape(out, inn // g),
+            group=g,
+        )
+    )
+    w_deq = kquant.dequantize(fmt, raw, (out, inn))
+    np.testing.assert_allclose(y, x @ w_deq.T, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: quantize a tiny model to each K format and evaluate
+# ---------------------------------------------------------------------------
+
+def _e2e(tmp_path, fmt, src="tiny-rwkv-5v2-730K-FP32.bin"):
+    from rwkv_tpu.formats.quantize import quantize_model_file
+    from rwkv_tpu.runtime.context import Context
+
+    src_path = fixture(src)
+    out_path = os.path.join(tmp_path, f"tiny-{fmt}.bin")
+    quantize_model_file(src_path, out_path, fmt)
+
+    ref_logits, _ = Context(src_path).eval_sequence(PROMPT)
+    q_logits, _ = Context(out_path).eval_sequence(PROMPT)
+    return np.asarray(ref_logits), np.asarray(q_logits)
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K", "Q6_K"])
+def test_e2e_tiny_model(fmt, tmp_path):
+    # tiny model rows are mostly 64 wide (fallback to the legacy format);
+    # ffn.value rows are 256 wide and get the real K codec. Quantized logits
+    # must track FP32 (same spirit as the reference's quantized-format
+    # diff-sum tolerances, test_tiny_rwkv.c:70-134)
+    ref, q = _e2e(str(tmp_path), fmt)
+    corr = np.corrcoef(ref, q)[0, 1]
+    assert corr > 0.98, f"{fmt}: logit correlation {corr:.4f}"
+    # quantization may legitimately flip a near-tie argmax; top-5 containment
+    assert np.argmax(q) in np.argsort(ref)[-5:]
+
+
+@pytest.mark.parametrize("fmt", ["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+def test_e2e_true_kquant_synthetic(fmt, tmp_path):
+    """E=256 synthetic v7 model: every projection row is K-divisible, so the
+    K codec (not the fallback) carries the whole compute path."""
+    from rwkv_tpu.formats.convert import convert_state_dict
+    from rwkv_tpu.formats.quantize import quantize_model_file
+    from rwkv_tpu.runtime.context import Context
+    from tests.common import make_v7_state_dict
+
+    src = os.path.join(str(tmp_path), "v7-e256.bin")
+    convert_state_dict(make_v7_state_dict(E=256, V=256, L=2, D=32), src, "FP32")
+    out = os.path.join(str(tmp_path), f"v7-e256-{fmt}.bin")
+    quantize_model_file(src, out, fmt)
+
+    _, tensors = container.read_model_file(out)
+    assert tensors["blocks.0.att.key.weight"].type_name == fmt  # no fallback
+
+    ref = np.asarray(Context(src).eval_sequence(PROMPT)[0])
+    q = np.asarray(Context(out).eval_sequence(PROMPT)[0])
+    corr = np.corrcoef(ref, q)[0, 1]
+    # random-weight logits amplify quant noise vs trained weights; floors are
+    # ~what each bit width achieves on this fixture with margin
+    floor = {"Q2_K": 0.5, "Q3_K": 0.85, "Q4_K": 0.9}.get(fmt, 0.97)
+    assert corr > floor, f"{fmt}: logit correlation {corr:.4f}"
+    assert np.all(np.isfinite(q))
+
+
+def test_e2e_fallback_rows_not_divisible(tmp_path):
+    # 4v0 tiny model: n_embed 64 -> ffn rows 256? emb rows are 64-wide:
+    # rows not divisible by 256 must fall back to the legacy format
+    from rwkv_tpu.formats.quantize import quantize_model_file
+
+    src_path = fixture("tiny-rwkv-4v0-660K-FP32.bin")
+    out_path = os.path.join(str(tmp_path), "tiny-q4k.bin")
+    quantize_model_file(src_path, out_path, "Q4_K")
+    _, tensors = container.read_model_file(out_path)
+    types = {rec.type_name for rec in tensors.values()}
+    # every quantized tensor is either the K target or its legacy fallback
+    assert types <= {"FP32", "FP16", "Q4_K", "Q4_1"}
+    assert "Q4_K" in types or "Q4_1" in types
+
+    from rwkv_tpu.runtime.context import Context
+
+    logits, _ = Context(out_path).eval_sequence(PROMPT)
+    assert np.all(np.isfinite(np.asarray(logits)))
