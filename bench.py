@@ -1,12 +1,14 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
 Headline: decode throughput (tokens/sec/chip) on an RWKV-7 World 1.5B-class
-config (L24 D2048 H32 S64, bf16 dense weights), batch of 8 independent
+config (L24 D2048 H32 S64), int8 weight-quantized serving (Q8-class: codes +
+per-32 scales in HBM, fused dequant-matmul Pallas kernels, emb/head kept
+dense per the reference's quantization policy), batch of 8 independent
 streams, whole decode loop on device (runtime/generate.py).
 
-vs_baseline compares against the reference's RWKV-4 1.5B FP16 CPU latency
-(117 ms/token -> 8.547 tok/s, README.md:30 / BASELINE.md) — the closest
-published single-stream 1.5B-class number the reference ships. No real
+vs_baseline compares against the reference's RWKV-4 1.5B Q8_0 CPU latency
+(89 ms/token -> 11.24 tok/s, README.md:29 / BASELINE.md) — the closest
+published quantized 1.5B-class number the reference ships. No real
 checkpoints are fetchable in this environment (zero egress), so weights are
 synthetic; throughput does not depend on weight values.
 
@@ -26,6 +28,7 @@ def main():
 
     sys.path.insert(0, ".")
     from rwkv_tpu.models import synth
+    from rwkv_tpu.ops import linear as L
     from rwkv_tpu.runtime import generate as G
 
     dev = jax.devices()[0]
@@ -40,26 +43,29 @@ def main():
     B = 8
     state = G.batched_init_state(cfg, B)
     tok0 = jnp.zeros((B,), jnp.int32)
+    steps = 64
+    reps = 3
 
     # NOTE: block_until_ready is unreliable over the axon relay (returns before
     # execution completes); jax.device_get of the result is the honest barrier.
-    steps = 64
-    t0 = time.time()
-    toks, st = G.greedy_decode(params, cfg, tok0, state, steps=steps)
-    _ = jax.device_get(toks)
-    print(f"decode compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    def measure(p, label):
+        t0 = time.time()
+        toks, _ = G.greedy_decode(p, cfg, tok0, state, steps=steps)
+        _ = jax.device_get(toks)
+        print(f"{label}: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for _i in range(reps):
+            toks, _ = G.greedy_decode(p, cfg, tok0, state, steps=steps)
+        _ = jax.device_get(toks)
+        dt = (time.time() - t0) / reps
+        tps = B * steps / dt
+        print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step)", file=sys.stderr)
+        return tps
 
-    reps = 3
-    t0 = time.time()
-    for _i in range(reps):
-        toks, st = G.greedy_decode(params, cfg, tok0, state, steps=steps)
-    _ = jax.device_get(toks)
-    dt = (time.time() - t0) / reps
-    decode_tps = B * steps / dt
-    print(
-        f"decode: {decode_tps:.1f} tok/s (batch {B}, {steps} steps, "
-        f"{1000*dt/steps:.2f} ms/step)", file=sys.stderr,
-    )
+    bf16_tps = measure(params, "decode bf16 dense")
+    qparams = L.quantize_params_device(params)
+    jax.block_until_ready(jax.tree.leaves(qparams))
+    decode_tps = measure(qparams, "decode int8 (Q8-class serving)")
 
     # prefill throughput (secondary, stderr only)
     T = 512
@@ -72,11 +78,12 @@ def main():
         logits, _ = G.prefill(params, cfg, ptoks, state, plens)
     _ = jax.device_get(logits)
     pdt = (time.time() - t0) / reps
-    print(f"prefill: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
+    print(f"prefill bf16: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
+    print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s", file=sys.stderr)
 
-    baseline_tps = 1000.0 / 117.0  # reference RWKV-4 1.5B FP16, ms/token -> tok/s
+    baseline_tps = 1000.0 / 89.0  # reference RWKV-4 1.5B Q8_0, ms/token -> tok/s
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class bf16, batch 8, on-device loop)",
+        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class int8-quantized serving, batch 8, on-device loop)",
         "value": round(decode_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(decode_tps / baseline_tps, 2),

@@ -133,21 +133,26 @@ def _heads(x, H, S):
 # attention (time-mix) blocks
 # ---------------------------------------------------------------------------
 
-def _att_v4(lp, x_ln, x_prev, st, valid):
+def _att_v4(lp, x_ln, x_prev, st, valid, step=False):
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
     xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
     r = jax.nn.sigmoid(matmul(xr, lp["att_r"]))
     k = matmul(xk, lp["att_k"])
     v = matmul(xv, lp["att_v"])
-    wkv, (aa, bb, pp) = wkv_ops.wkv4(
-        k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid
-    )
+    if step:
+        wkv, (aa, bb, pp) = wkv_ops.wkv4_step(
+            k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"]
+        )
+    else:
+        wkv, (aa, bb, pp) = wkv_ops.wkv4(
+            k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid
+        )
     out = matmul(r * wkv, lp["att_o"])
     return out, {"aa": aa, "bb": bb, "pp": pp}
 
 
-def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
+def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
@@ -159,15 +164,18 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
     if cfg.version_minor >= 2:
         xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
         g = jax.nn.silu(matmul(xg, lp["att_gate"]))
-    w = jnp.broadcast_to(lp["time_decay"], (x_ln.shape[0], H, S))
-    out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas)
+    if step:
+        out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], lp["time_decay"], heads)
+    else:
+        w = jnp.broadcast_to(lp["time_decay"], (x_ln.shape[0], H, S))
+        out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas)
     x = group_norm_heads(out.reshape(-1, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
     if g is not None:
         x = x * g
     return matmul(x, lp["att_o"]), heads
 
 
-def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
+def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
     T = x_ln.shape[0]
     sx = x_prev - x_ln
@@ -188,13 +196,17 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None):
     w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
     w = w + lp["decay_base"]
     w = jnp.exp(-jnp.exp(w))
-    out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid, pallas)
+    if step:
+        out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], _heads(w, H, S), heads)
+    else:
+        out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid, pallas)
     x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     x = x * g
     return matmul(x, lp["att_o"]), heads
 
 
-def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig, pallas=None):
+def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig,
+            pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
     T = x_ln.shape[0]
     sx = x_prev - x_ln                                          # (T, E)
@@ -221,7 +233,12 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
     v_first = jnp.where(is_first, v, v_first)
 
     rh, wh, kh, vh, ah = (_heads(t, H, S) for t in (r, w, k, v, a))
-    out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas)
+    if step:
+        # jnp step; measured faster than a Pallas T=1 grid at every batch size
+        # (the per-program overhead of tiny (1, HB, S) vector blocks dominates)
+        out, heads = wkv_ops.wkv7_step(rh, wh, kh, vh, -kk, kk * ah, heads)
+    else:
+        out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas)
 
     x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     # bonus: v * sum_per_head(k * r * r_k) (rwkv_graph.inc:472-477)
@@ -346,6 +363,100 @@ def forward(
     x_last = layer_norm(x_last, params["ln_out_w"], params["ln_out_b"])
     logits = matmul(x_last, params["head"])[0]
     return logits, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "layer_major"))
+def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool = True,
+                 layer_major: bool = False):
+    """Native batched single-token decode step: tokens (B,) int32, state
+    leaves with a leading B axis. Returns (logits (B, V) | None, new_state).
+
+    This is the serving hot path. Unlike vmap(forward) at T=1, the batch is a
+    real matrix dimension, so every projection is one (B, E) x (E, O) matmul
+    and each weight matrix streams from HBM exactly once per step — decode is
+    HBM-bandwidth-bound, making this the difference between SoL and B-fold
+    slowdown for quantized (Pallas qmm) weights, which vmap would re-stream
+    per stream.
+
+    layer_major=True takes/returns state leaves as (L, B, ...) — the layout
+    the layer scan consumes — so a decode loop can keep the (large) state in
+    that layout across steps instead of paying two full-state transposes per
+    step (at B=128 on a 1.5B model those copies cost more than the weights)."""
+    major = cfg.version_major
+
+    x = params["emb"][tokens].astype(jnp.float32)          # (B, E)
+    x = layer_norm(x, params["ln0_w"], params["ln0_b"])
+    v_first0 = jnp.zeros_like(x)
+
+    if layer_major:
+        st_layers = state
+    else:
+        # state leaves (B, L, ...) -> (L, B, ...) for the layer scan
+        st_layers = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+
+    from rwkv_tpu.ops import linear as linear_mod
+
+    # Weight matrices do NOT ride the scan's xs: a scanned xs slice feeding a
+    # Pallas kernel forces XLA to materialize a copy of that layer's weights
+    # every step (measured: the copies outweigh the matmuls at decode batch
+    # sizes). Instead the stacked arrays are closed over and matmul indexes
+    # them lazily (at_layer), letting the kernel DMA tiles of the right layer
+    # straight from the stacked HBM buffer. Small per-layer vectors still
+    # scan normally — their slices fuse fine.
+    weights = {k: v for k, v in params["layers"].items()
+               if isinstance(v, linear_mod.Linear)}
+    vectors = {k: v for k, v in params["layers"].items()
+               if not isinstance(v, linear_mod.Linear)}
+
+    def layer_fn(carry, xs):
+        x, v_first = carry
+        vecs, st, idx = xs
+        lp = {**vecs, **{k: linear_mod.at_layer(v, idx) for k, v in weights.items()}}
+
+        x_ln1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        x_prev1, att_xx = st["att_xx"], x_ln1
+
+        if major == 4:
+            att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, None, step=True)
+            new_st = {"att_xx": att_xx, **new4}
+        elif major == 5:
+            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], None, cfg, step=True)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        elif major == 6:
+            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], None, cfg, step=True)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        else:
+            att_out, heads, v_first = _att_v7(
+                lp, x_ln1, x_prev1, st["heads"], v_first, idx, None, cfg, step=True
+            )
+            new_st = {"att_xx": att_xx, "heads": heads}
+        x = x + att_out
+
+        x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        x_prev2, ffn_xx = st["ffn_xx"], x_ln2
+        if major == 7:
+            ffn_out = _ffn_v7(lp, x_ln2, x_prev2)
+        elif major == 6:
+            ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
+        else:
+            ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
+        x = x + ffn_out
+
+        new_st["ffn_xx"] = ffn_xx
+        return (x, v_first), new_st
+
+    (x, _), new_state = jax.lax.scan(
+        layer_fn,
+        (x, v_first0),
+        (vectors, st_layers, jnp.arange(cfg.n_layer)),
+    )
+    if not layer_major:
+        new_state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), new_state)
+
+    if not compute_logits:
+        return None, new_state
+    x = layer_norm(x, params["ln_out_w"], params["ln_out_b"])
+    return matmul(x, params["head"]), new_state
 
 
 def forward_batch(

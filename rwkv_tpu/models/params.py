@@ -129,8 +129,14 @@ class _Source:
     def linear(self, key, parity) -> L.Linear:
         ty = self.dtype_name(key)
         if self.nf and not parity and ty not in ("FP32", "FP16"):
-            q, d, m = self.nf.to_codes(key)
-            return L.Linear(q=q, d=d, m=m, kind="qfast", fmt=ty)
+            q, d, m = self.nf.to_codes(key)  # row-major (out, in)/(out, nb)
+            return L.Linear(
+                q=np.ascontiguousarray(q.T),
+                d=np.ascontiguousarray(d.T),
+                m=None if m is None else np.ascontiguousarray(m.T),
+                kind="qfast",
+                fmt=ty,
+            )
         if self.nf and ty in ("FP32", "FP16"):
             w = self.to_float32(key).T
             return L.Linear(w=np.ascontiguousarray(w), kind="dense")

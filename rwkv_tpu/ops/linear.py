@@ -41,6 +41,10 @@ class Linear:
     m: Any = None
     kind: str = "dense"   # 'dense' | 'f16' | 'quant'
     fmt: str = ""         # quant format name when kind == 'quant'
+    # traced layer index into leading-L stacked arrays (set via at_layer);
+    # lets matmul index weights lazily so Pallas kernels can DMA the layer's
+    # tiles straight from the stacked HBM array instead of a sliced copy
+    layer: Any = None
 
     @property
     def shape(self):
@@ -48,17 +52,27 @@ class Linear:
         if self.kind == "quant":
             *_, o, nb, _ = self.q.shape
             return (nb * QK, o)
-        if self.kind == "qfast":
-            *_, o, inn = self.q.shape
+        if self.kind == "qfast":  # q is contraction-major (in, out)
+            *_, inn, o = self.q.shape
             return (inn, o)
         return self.w.shape[-2:]
 
 
 jax.tree_util.register_dataclass(
     Linear,
-    data_fields=["w", "q", "d", "m"],
+    data_fields=["w", "q", "d", "m", "layer"],
     meta_fields=["kind", "fmt"],
 )
+
+
+def at_layer(lin: Linear, idx) -> Linear:
+    """View of one layer of a leading-L stacked Linear, indexed lazily at
+    matmul time (idx may be a traced scalar, e.g. a lax.scan counter)."""
+    return dataclasses.replace(lin, layer=idx)
+
+
+def _take_layer(a, idx):
+    return jax.lax.dynamic_index_in_dim(a, idx, axis=0, keepdims=False)
 
 
 def group_of(fmt: str) -> int:
@@ -92,12 +106,13 @@ def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
         w = qcodec.dequantize(rec.type_name, rec.data, (out, inn)).T
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if not parity:
-        # fast path: codes stay packed (int8) in HBM; matmul runs through the
-        # fused dequant-matmul kernel (ops/qmm.py) on TPU
+        # fast path: codes stay packed (int8) in HBM, contraction-major
+        # (in, out) so ops/qmm.py needs no transposes; matmul runs through
+        # the fused dequant-matmul kernel on TPU
         return Linear(
-            q=np.ascontiguousarray(q.reshape(out, inn)),
-            d=np.ascontiguousarray(d.reshape(out, nb)),
-            m=None if m is None else np.ascontiguousarray(m.reshape(out, nb)),
+            q=np.ascontiguousarray(q.reshape(out, inn).T),
+            d=np.ascontiguousarray(d.reshape(out, nb).T),
+            m=None if m is None else np.ascontiguousarray(m.reshape(out, nb).T),
             kind="qfast",
             fmt=rec.type_name,
         )
@@ -149,18 +164,34 @@ def _matmul_quant_parity(x, lin: Linear):
 def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32."""
     if lin.kind == "dense":
-        w = lin.w
+        w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
         if w.dtype == jnp.bfloat16:
             return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
     if lin.kind == "f16":
-        return jnp.dot(x.astype(jnp.float16), lin.w, preferred_element_type=jnp.float32)
+        w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
+        return jnp.dot(x.astype(jnp.float16), w, preferred_element_type=jnp.float32)
     if lin.kind == "quant":
+        if lin.layer is not None:
+            lin = dataclasses.replace(
+                lin,
+                q=_take_layer(lin.q, lin.layer),
+                d=_take_layer(lin.d, lin.layer),
+                m=None if lin.m is None else _take_layer(lin.m, lin.layer),
+                layer=None,
+            )
         return _matmul_quant_parity(x, lin)
     if lin.kind == "qfast":
         from rwkv_tpu.ops import qmm
 
         g = group_of(lin.fmt)
+        if lin.layer is not None:
+            if jax.default_backend() == "tpu":
+                return qmm.qmm_stacked(x, lin.q, lin.d, lin.m, lin.layer, group=g)
+            return qmm.qmm_reference(
+                x, _take_layer(lin.q, lin.layer), _take_layer(lin.d, lin.layer),
+                None if lin.m is None else _take_layer(lin.m, lin.layer), group=g,
+            )
         if jax.default_backend() == "tpu":
             return qmm.qmm(x, lin.q, lin.d, lin.m, group=g)
         return qmm.qmm_reference(x, lin.q, lin.d, lin.m, group=g)
@@ -190,18 +221,72 @@ def stack(lins: list) -> Linear:
     return Linear(w=np.stack([l.w for l in lins]), kind=k)
 
 
+def quantize_dense_device(lin: Linear, group: int = 32) -> Linear:
+    """Dense Linear -> int8 qfast Linear, computed on device under jit.
+
+    Symmetric per-`group` absmax scaling (Q8_0-style: q = round(w/d),
+    d = absmax/127). This is the on-the-fly serving quantization path: load
+    an FP16/FP32 model, quantize weights in HBM once, then every decode step
+    moves 1 byte/element + scales instead of 2-4 — decode is HBM-bound, so
+    this is a near-proportional speedup (the reference's analogue is offline
+    file quantization; on TPU the codes feed ops/qmm.py's fused kernel).
+    """
+    if lin.kind == "qfast":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) — already contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        d = amax / jnp.float32(127.0)
+        inv = jnp.where(d > 0, 1.0 / d, 0.0)
+        q = jnp.round(b * inv[..., None, :]).astype(jnp.int8)
+        return q.reshape(*lead, inn, o), d
+
+    q, d = _q(lin.w)
+    return Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
+
+
+def quantize_params_device(params, keys=None) -> dict:
+    """Quantize a param pytree's projection Linears to int8 on device.
+
+    Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
+    emb/head and the small low-rank tensors stay dense; the big per-layer
+    projections are quantized. `keys` overrides the layer-Linear selection.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    if keys is None:
+        keys = [
+            k for k, v in layers.items()
+            if isinstance(v, Linear) and k in
+            ("att_k", "att_v", "att_r", "att_o", "att_gate", "ffn_k", "ffn_v", "ffn_r")
+        ]
+    for k in keys:
+        layers[k] = quantize_dense_device(layers[k])
+    out["layers"] = layers
+    return out
+
+
 def to_dense_f32(lin: Linear) -> Linear:
     if lin.kind == "dense" and lin.w.dtype == np.float32:
         return lin
     if lin.kind in ("dense", "f16"):
         return Linear(w=np.asarray(lin.w, dtype=np.float32), kind="dense")
     if lin.kind == "qfast":
-        *lead, o, inn = lin.q.shape
+        # q (..., in, out) contraction-major: dequant straight to dense (in, out)
+        *lead, inn, o = lin.q.shape
         g = group_of(lin.fmt)
-        q = np.asarray(lin.q).reshape(*lead, o, inn // g, g)
-    else:
-        q = np.asarray(lin.q)
-        o = q.shape[-3]
+        q = np.asarray(lin.q).reshape(*lead, inn // g, g, o)
+        w = q.astype(np.float32) * np.asarray(lin.d, np.float32)[..., :, None, :]
+        if lin.m is not None:
+            w = w + np.asarray(lin.m, np.float32)[..., :, None, :]
+        return Linear(w=np.ascontiguousarray(w.reshape(*lead, inn, o)), kind="dense")
+    q = np.asarray(lin.q)
     w = q.astype(np.float32) * np.asarray(lin.d, np.float32)[..., None]
     if lin.m is not None:
         w = w + np.asarray(lin.m, np.float32)[..., None]

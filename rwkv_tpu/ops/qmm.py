@@ -4,18 +4,26 @@ The reference's quantized mul_mat is ggml's CPU int-dot path (SURVEY.md §2.2);
 the TPU-native equivalent keeps the weight matrix quantized in HBM and
 dequantizes tile-by-tile in VMEM at the MXU's feed rate:
 
-    y[T, out] = x[T, in] @ (q * d (+ m))^T
+    y[T, out] = x[T, in] @ (q * d (+ m))
 
-Layout: codes as int8 (out, in) — Q4/Q5 codes fit int8 after bias folding
-(decode_blocks already yields signed codes) — with per-32-block f32 scales
-d (out, in/32) and optional mins m. The kernel tiles (out, in), expands the
-block scales across lanes with pltpu.repeat, and accumulates f32 partials in
-a VMEM scratch across the contraction grid dimension.
+Layout (everything contraction-major so the kernel needs zero transposes):
+  q: (in, out) int8   — Q4/Q5 codes fit int8 after bias folding
+  d: (in/g, out) f32  — per-g-block scales (g = 32, or 16 for Q2/Q3/Q6_K)
+  m: (in/g, out) f32  — per-block mins (Q4_1/Q5_1/Q4_K/Q5_K), optional
+
+Kernel recipe (measured at HBM speed-of-light on v5e, ~3 us for a 2048x2048
+int8 matrix at T=8 vs ~5.3 us for the same matrix dense bf16 — the int8 codes
+move half the bytes):
+  - expand block scales across their g lanes with a sublane broadcast+reshape
+    (an earlier one-hot-matmul expansion cost ~15x the whole kernel)
+  - dequantize into f32 registers, multiply on the MXU at DEFAULT precision
+    (one bf16 pass; HIGHEST ran the 6-pass f32 algorithm and dominated
+    runtime). Accuracy equals the dense-bf16 fast path.
+  - f32 accumulation across the contraction grid dimension in VMEM scratch.
 
 Codes-as-int8 is 1 byte/element: 2x less HBM traffic than bf16 for every
-format and 4x less than f32 (a bit-packed 4-bit layout can halve Q4 again —
-future work). Weight values are identical to ggml's dequant, so quality
-matches the dequantized fast path exactly.
+format and 4x less than f32. Weight values are identical to ggml's dequant,
+so quality matches the dequantized fast path exactly.
 """
 
 from __future__ import annotations
@@ -31,106 +39,166 @@ from jax.experimental.pallas import tpu as pltpu
 QK = 32
 
 
-def _expand_blocks(d, it, g=QK):
-    """(nb, OT) f32 -> (OT, IT): each per-block value spans its g lanes.
-    pltpu.repeat tiles (not element-repeat), so expand via a one-hot matmul
-    contracting the block axis — MXU-friendly and needs no transposes
-    (scales are stored block-major (nb, out) for exactly this reason)."""
-    nb = d.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, it), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, it), 1)
-    onehot = (cols // g == rows).astype(jnp.float32)
-    return jax.lax.dot_general(
-        d, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, dot_dtype, group):
+def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group, out_dtype):
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[...]  # (OT, IT) int8
-    it = q.shape[1]
+    q = q_ref[...]  # (IT, OT) int8
+    it, ot = q.shape
+    nb = it // group
+
+    def expand(s):  # (nb, OT) -> (IT, OT), value repeated across its g sublanes
+        return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(it, ot)
+
     if with_min:
-        w = q.astype(jnp.float32) * _expand_blocks(d_ref[:, :, 0], it, group) \
-            + _expand_blocks(d_ref[:, :, 1], it, group)
+        w = q.astype(jnp.float32) * expand(d_ref[:, :, 0]) + expand(d_ref[:, :, 1])
     else:
-        w = q.astype(jnp.float32) * _expand_blocks(d_ref[...], it, group)
-    x = x_ref[...]  # (T, IT)
+        w = q.astype(jnp.float32) * expand(d_ref[...])
     acc_ref[...] += jax.lax.dot_general(
-        x.astype(dot_dtype),
-        w.astype(dot_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        x_ref[...], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
-        o_ref[...] = acc_ref[...]
+        o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_tile", "in_tile", "dot_dtype", "group"))
-def qmm(x, q, d, m=None, out_tile: int = 256, in_tile: int = 512, dot_dtype=jnp.float32,
-        group: int = QK):
-    """x: (T, in) f32; q: (out, in) int8; d[, m]: (out, in//group) f32.
-    Returns (T, out) f32."""
+def _pick_tile(dim, want):
+    t = min(want, dim)
+    while dim % t:
+        t //= 2
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype"))
+def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32):
+    """x: (T, in) f32; q: (in, out) int8; d[, m]: (in//group, out) f32.
+    Returns (T, out)."""
     t, inn = x.shape
-    out = q.shape[0]
-    OT = min(out_tile, out)
-    while out % OT:
-        OT //= 2
-    IT = min(in_tile, inn)
-    while inn % IT:
-        IT //= 2
+    out = q.shape[1]
+    # decode (small T): stream full rows; prefill (large T): bound VMEM
+    OT = _pick_tile(out, 512)
+    IT = _pick_tile(inn, 2048 if t <= 64 else 512)
     if IT % group:
         raise ValueError(f"in_tile {IT} not a multiple of {group}")
 
     with_min = m is not None
-    # scales block-major (nb, out) tile cleanly: (IT//group, OT) has sublane
-    # IT//group >= 8 for IT >= 256 and lane OT % 128 == 0
     if with_min:
-        dm = jnp.stack([jnp.swapaxes(d, 0, 1), jnp.swapaxes(m, 0, 1)], axis=-1)
+        dm = jnp.stack([d, m], axis=-1)
         d_spec = pl.BlockSpec((IT // group, OT, 2), lambda o, i: (i, o, 0), memory_space=pltpu.VMEM)
     else:
-        dm = jnp.swapaxes(d, 0, 1)
+        dm = d
         d_spec = pl.BlockSpec((IT // group, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM)
 
     grid = (out // OT, inn // IT)
-    y = pl.pallas_call(
-        functools.partial(_qmm_kernel, with_min=with_min, dot_dtype=dot_dtype, group=group),
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, with_min=with_min, group=group, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((t, IT), lambda o, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((OT, IT), lambda o, i: (o, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM),
             d_spec,
         ],
         out_specs=pl.BlockSpec((t, OT), lambda o, i: (0, o), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
         scratch_shapes=[pltpu.VMEM((t, OT), jnp.float32)],
     )(x, q, dm)
-    return y
+
+
+def _qmm_stacked_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group,
+                        out_dtype):
+    # l_ref is the scalar-prefetched layer index (consumed by the index maps)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (IT, OT) int8
+    it, ot = q.shape
+    nb = it // group
+
+    def expand(s):
+        return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(it, ot)
+
+    if with_min:
+        w = q.astype(jnp.float32) * expand(d_ref[0, :, :, 0]) + expand(d_ref[0, :, :, 1])
+    else:
+        w = q.astype(jnp.float32) * expand(d_ref[0])
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype"))
+def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
+    """Layer-stacked fused dequant-matmul: q (L, in, out) int8, d/m
+    (L, in//group, out) f32, layer a traced scalar index.
+
+    The kernel DMAs tiles of layer `layer` straight out of the stacked HBM
+    array via a scalar-prefetch index map. Inside a lax.scan over layers this
+    avoids XLA materializing a full copy of each layer's weights per step
+    (a dynamic-slice feeding a custom call can't fuse — the copies cost more
+    than the matmuls themselves at decode batch sizes)."""
+    t, inn = x.shape
+    out = q.shape[2]
+    OT = _pick_tile(out, 512)
+    IT = _pick_tile(inn, 2048 if t <= 64 else 512)
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_spec = pl.BlockSpec(
+            (1, IT // group, OT, 2), lambda o, i, l: (l[0], i, o, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        dm = d
+        d_spec = pl.BlockSpec(
+            (1, IT // group, OT), lambda o, i, l: (l[0], i, o), memory_space=pltpu.VMEM
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((t, IT), lambda o, i, l: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            d_spec,
+        ],
+        out_specs=pl.BlockSpec((t, OT), lambda o, i, l: (0, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((t, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_stacked_kernel, with_min=with_min, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, dm)
 
 
 def repack_for_qmm(q_codes: np.ndarray, d: np.ndarray, m):
-    """Linear quant fields (out, nb, 32)/(out, nb) -> kernel layout
-    ((out, in) int8, (out, nb) f32, (out, nb) f32 | None)."""
-    out, nb, _ = q_codes.shape
+    """Row-major quant fields (out, nb, g)/(out, nb) -> kernel layout
+    ((in, out) int8, (nb, out) f32, (nb, out) f32 | None)."""
+    out, nb, g = q_codes.shape
     return (
-        np.ascontiguousarray(q_codes.reshape(out, nb * QK)),
-        np.ascontiguousarray(d.astype(np.float32)),
-        None if m is None else np.ascontiguousarray(m.astype(np.float32)),
+        np.ascontiguousarray(q_codes.reshape(out, nb * g).T),
+        np.ascontiguousarray(d.astype(np.float32).T),
+        None if m is None else np.ascontiguousarray(m.astype(np.float32).T),
     )
 
 
 def qmm_reference(x, q, d, m=None, group: int = QK):
     """jnp fallback (CPU / non-TPU): identical math, XLA-fused."""
-    out, inn = q.shape
-    w = q.astype(jnp.float32).reshape(out, inn // group, group) * d[..., None]
+    inn, out = q.shape
+    w = q.astype(jnp.float32).reshape(inn // group, group, out) * d[:, None, :]
     if m is not None:
-        w = w + m[..., None]
-    return jnp.dot(x, w.reshape(out, inn).T, preferred_element_type=jnp.float32,
+        w = w + m[:, None, :]
+    return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)

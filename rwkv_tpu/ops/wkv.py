@@ -79,6 +79,43 @@ def wkv56(r, k, v, tf, w, state, valid):
     return out, state
 
 
+def wkv4_step(k, v, time_first, time_decay, aa, bb, pp):
+    """One v4 recurrence step, batched: k, v, aa, bb, pp (..., E).
+    Returns (wkv (..., E), (aa, bb, pp))."""
+    ww = time_first + k
+    qq = jnp.maximum(pp, ww)
+    e1 = jnp.exp(pp - qq)
+    e2 = jnp.exp(ww - qq)
+    wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
+    ww2 = pp + time_decay
+    qq2 = jnp.maximum(ww2, k)
+    e1b = jnp.exp(ww2 - qq2)
+    e2b = jnp.exp(k - qq2)
+    return wkv, (e1b * aa + e2b * v, e1b * bb + e2b, qq2)
+
+
+def wkv56_step(r, k, v, tf, w, state):
+    """One v5/v6 step, batched: r/k/v/w (..., H, S); tf (H, S) or (..., H, S);
+    state (..., H, S, S) indexed [k_dim, v_dim]. Returns (out, state)."""
+    kv = k[..., :, None] * v[..., None, :]
+    out = jnp.sum((state + tf[..., :, None] * kv) * r[..., :, None], axis=-2)
+    state = state * w[..., :, None] + kv
+    return out, state
+
+
+def wkv7_step(r, w, k, v, a, b, state):
+    """One v7 step, batched: all of r/w/k/v/a/b (..., H, S);
+    state (..., H, S, S) indexed [v_dim, k_dim]. Returns (out, state)."""
+    sa = jnp.sum(state * a[..., None, :], axis=-1)
+    state = (
+        state * w[..., None, :]
+        + v[..., :, None] * k[..., None, :]
+        + sa[..., :, None] * b[..., None, :]
+    )
+    out = jnp.sum(state * r[..., None, :], axis=-1)
+    return out, state
+
+
 def wkv7(r, w, k, v, a, b, state, valid):
     """RWKV v7 wkv with the in-context-learning rank-1 state update.
 

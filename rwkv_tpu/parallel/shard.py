@@ -47,11 +47,11 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
             q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
     if lin.kind == "qfast":
-        # q: (L, O, in); d/m: (L, O, nb)
+        # q: (L, in, O); d/m: (L, nb, O) — contraction-major
         if mode == "col":
-            q, d = P(*lead, "tp", None), P(*lead, "tp", None)
-        else:
             q, d = P(*lead, None, "tp"), P(*lead, None, "tp")
+        else:
+            q, d = P(*lead, "tp", None), P(*lead, "tp", None)
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
     # dense (L, in, out)
     spec = P(*lead, None, "tp") if mode == "col" else P(*lead, "tp", None)

@@ -28,13 +28,16 @@ def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
 
     def step(carry, _):
         tok, st = carry
-        logits, st = fwd.forward_batch(
-            params, cfg, tok[:, None], st, jnp.ones_like(tok), compute_logits=True
-        )
+        logits, st = fwd.forward_step(params, cfg, tok, st, compute_logits=True,
+                                      layer_major=True)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, st), nxt
 
-    (_, state), toks = jax.lax.scan(step, (tokens0, state), None, length=steps)
+    # keep the state layer-major inside the loop (one transpose per call,
+    # not two full-state copies per step)
+    st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), None, length=steps)
+    state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 
 
@@ -60,9 +63,8 @@ def sampled_decode(
 
     def step(carry, k):
         tok, st = carry
-        logits, st = fwd.forward_batch(
-            params, cfg, tok[:, None], st, jnp.ones_like(tok), compute_logits=True
-        )
+        logits, st = fwd.forward_step(params, cfg, tok, st, compute_logits=True,
+                                      layer_major=True)
         vals, idx = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))  # sorted desc
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
@@ -74,7 +76,9 @@ def sampled_decode(
         return (nxt, st), nxt
 
     keys = jax.random.split(key, steps)
-    (_, state), toks = jax.lax.scan(step, (tokens0, state), keys)
+    st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), keys)
+    state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 
 

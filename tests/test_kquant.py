@@ -115,9 +115,9 @@ def test_qmm_reference_kquant(fmt):
     y = np.asarray(
         qmm.qmm_reference(
             x,
-            q.reshape(out, inn),
-            d.reshape(out, inn // g),
-            None if m is None else m.reshape(out, inn // g),
+            q.reshape(out, inn).T,
+            d.reshape(out, inn // g).T,
+            None if m is None else m.reshape(out, inn // g).T,
             group=g,
         )
     )

@@ -37,8 +37,7 @@ def test_qmm_matches_dense_dequant(fmt, t):
     # pallas kernel (interpret mode on CPU)
     with pltpu.force_tpu_interpret_mode():
         y_pl = qmm.qmm(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                       None if lin.m is None else jnp.asarray(lin.m),
-                       out_tile=64, in_tile=128)
+                       None if lin.m is None else jnp.asarray(lin.m))
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-4, rtol=1e-5)
 
 
