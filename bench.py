@@ -71,14 +71,20 @@ def main():
     T = 512
     ptoks = jnp.zeros((B, T), jnp.int32)
     plens = jnp.full((B,), T, jnp.int32)
-    logits, _ = G.prefill(params, cfg, ptoks, state, plens)
-    _ = jax.device_get(logits)
-    t0 = time.time()
-    for _i in range(reps):
-        logits, _ = G.prefill(params, cfg, ptoks, state, plens)
-    _ = jax.device_get(logits)
-    pdt = (time.time() - t0) / reps
-    print(f"prefill bf16: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
+    def measure_prefill(p, label):
+        logits, _ = G.prefill(p, cfg, ptoks, state, plens)
+        _ = jax.device_get(logits)
+        t0 = time.time()
+        for _i in range(reps):
+            logits, _ = G.prefill(p, cfg, ptoks, state, plens)
+        _ = jax.device_get(logits)
+        pdt = (time.time() - t0) / reps
+        print(f"prefill {label}: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
+
+    measure_prefill(params, "bf16")
+    w8 = L.quantize_params_device(params, mode="w8a8")
+    jax.block_until_ready(jax.tree.leaves(w8))
+    measure_prefill(w8, "w8a8 (int8 MXU)")
     print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s", file=sys.stderr)
 
     baseline_tps = 1000.0 / 89.0  # reference RWKV-4 1.5B Q8_0, ms/token -> tok/s

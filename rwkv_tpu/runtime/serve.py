@@ -120,10 +120,8 @@ class Server:
         tokens emitted this step keyed by stream id."""
         if not self._by_slot:
             return {}
-        toks = jnp.asarray(self._last_tok)[:, None]
-        lengths = jnp.ones(self.B, jnp.int32)
-        logits, new_state = fwd.forward_batch(
-            self.ctx._params, self.cfg, toks, self._state, lengths
+        logits, new_state = fwd.forward_step(
+            self.ctx._params, self.cfg, jnp.asarray(self._last_tok), self._state
         )
         # only active slots advance their state
         active = np.zeros(self.B, bool)

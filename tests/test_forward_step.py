@@ -64,6 +64,43 @@ def test_greedy_decode_matches_stepwise():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
+def test_w8a8_quality_on_trained_weights():
+    """Per-channel int8 weights + per-token int8 activations (the MXU-native
+    turbo mode) must track dense logits on trained weights."""
+    from tests.common import fixture
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops import linear as L
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    toks = jnp.asarray(list(b'"in the beginning'), jnp.int32)
+    st = fwd.init_state(cfg)
+    n = jnp.int32(toks.shape[0])
+    lg_d, _ = fwd.forward(prm, cfg, toks, st, n)
+    w8 = L.quantize_params_device(prm, mode="w8a8")
+    assert w8["layers"]["att_k"].kind == "w8a8"
+    lg_q, _ = fwd.forward(w8, cfg, toks, st, n)
+    corr = np.corrcoef(np.asarray(lg_d), np.asarray(lg_q))[0, 1]
+    assert corr > 0.999, corr
+    assert int(np.argmax(lg_q)) == int(np.argmax(lg_d))
+
+
+def test_w8a8_matmul_matches_dense():
+    from rwkv_tpu.ops import linear as L
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((512, 256)).astype(np.float32) * 0.05
+    lin = L.Linear(w=jnp.asarray(w), kind="dense")
+    q = L.quantize_dense_w8a8_device(lin)
+    x = jnp.asarray(rng.standard_normal((16, 512)), jnp.float32)
+    y_d = np.asarray(L.matmul(x, lin))
+    y_q = np.asarray(L.matmul(x, q))
+    rel = np.sqrt(np.mean((y_q - y_d) ** 2)) / np.sqrt(np.mean(y_d**2))
+    assert rel < 0.02, rel
+    # dense reconstruction agrees with the scales
+    y_r = np.asarray(x) @ np.asarray(L.to_dense_f32(q).w)
+    np.testing.assert_allclose(y_q, y_r, rtol=0.05, atol=0.05)
+
+
 def test_step_quantized_params():
     """forward_step through int8 on-device-quantized weights (the serving
     path: ops/linear.py::quantize_params_device + qmm)."""
