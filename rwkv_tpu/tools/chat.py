@@ -60,11 +60,26 @@ def main():
     ap.add_argument("model_path")
     ap.add_argument("tokenizer", nargs="?", default="auto")
     ap.add_argument("--prompt-json", help="JSON with user/assistant/separator/prompt keys")
+    ap.add_argument("--language", default="English",
+                    choices=["English", "Chinese", "Japanese"],
+                    help="packaged prompt preset language (chat_with_bot.py:18-38)")
+    ap.add_argument("--prompt-type", default="Chat", choices=["Chat", "QA"],
+                    help="packaged prompt preset style")
     args = ap.parse_args()
 
-    pdata = DEFAULT_PROMPT
     if args.prompt_json:
         pdata = json.load(open(args.prompt_json, encoding="utf-8"))
+    else:
+        import os
+
+        preset = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets", "prompts", f"{args.language}-{args.prompt_type}.json",
+        )
+        if os.path.exists(preset):
+            pdata = json.load(open(preset, encoding="utf-8"))
+        else:
+            pdata = DEFAULT_PROMPT
     user, assistant, separator = pdata["user"], pdata["assistant"], pdata["separator"]
     init_prompt = pdata["prompt"]
 
