@@ -88,15 +88,17 @@ static inline uint16_t f32_to_f16(float f) {
 }
 
 // ---- format table (rwkv_type enum order, rwkv_file_format.inc:5-24) ----
-struct TypeInfo { const char* name; int block_bytes; bool decodable; };
+// block_elems: elements per block (32 legacy, 256 K-quant super-blocks);
+// group: elements per scale group in the qmm codes layout (0 = not quantized)
+struct TypeInfo { const char* name; int block_bytes; int block_elems; int group; bool decodable; };
 static const TypeInfo kTypes[] = {
-    {"FP32", 0, true}, {"FP16", 0, true},
-    {"Q4_0", 18, true}, {"Q4_1", 20, true},
-    {"Q4_1_O", 0, false}, {"Q4_2", 0, false}, {"Q4_3", 0, false},
-    {"Q5_0", 22, true}, {"Q5_1", 24, true}, {"Q8_0", 34, true},
-    {"Q8_1", 0, false},
-    {"Q2_K", 0, false}, {"Q3_K", 0, false}, {"Q4_K", 0, false},
-    {"Q5_K", 0, false}, {"Q6_K", 0, false}, {"Q8_K", 0, false},
+    {"FP32", 0, 0, 0, true}, {"FP16", 0, 0, 0, true},
+    {"Q4_0", 18, 32, 32, true}, {"Q4_1", 20, 32, 32, true},
+    {"Q4_1_O", 0, 0, 0, false}, {"Q4_2", 0, 0, 0, false}, {"Q4_3", 0, 0, 0, false},
+    {"Q5_0", 22, 32, 32, true}, {"Q5_1", 24, 32, 32, true}, {"Q8_0", 34, 32, 32, true},
+    {"Q8_1", 0, 0, 0, false},
+    {"Q2_K", 84, 256, 16, true}, {"Q3_K", 110, 256, 16, true}, {"Q4_K", 144, 256, 32, true},
+    {"Q5_K", 176, 256, 32, true}, {"Q6_K", 210, 256, 16, true}, {"Q8_K", 292, 256, 32, true},
 };
 constexpr int kTypeCount = (int)(sizeof(kTypes) / sizeof(kTypes[0]));
 
@@ -104,7 +106,7 @@ static int64_t tensor_nbytes(uint32_t dtype, int64_t n) {
     if (dtype == 0) return n * 4;
     if (dtype == 1) return n * 2;
     if (dtype < (uint32_t)kTypeCount && kTypes[dtype].block_bytes > 0)
-        return (n / QK) * kTypes[dtype].block_bytes;
+        return (n / kTypes[dtype].block_elems) * kTypes[dtype].block_bytes;
     return -1;
 }
 
@@ -211,6 +213,148 @@ static void dequant_blocks(uint32_t dtype, const uint8_t* src, float* dst, int64
             }
             break;
     }
+}
+
+// ---- K-quant super-block decode (ggml k-quant public formats) ----
+static inline void get_scale_min_k4(int j, const uint8_t* s, uint8_t* sc, uint8_t* mn) {
+    if (j < 4) {
+        *sc = s[j] & 63;
+        *mn = s[j + 4] & 63;
+    } else {
+        *sc = (uint8_t)((s[j + 4] & 0xF) | ((s[j - 4] >> 6) << 4));
+        *mn = (uint8_t)((s[j + 4] >> 4) | ((s[j] >> 6) << 4));
+    }
+}
+
+// per super-block: effective scale/min per sub-group -> (q, d_eff, m_eff)
+// m_eff follows the q*d + m convention (mins enter negated)
+static void kquant_decode_sb(uint32_t dtype, const uint8_t* p, int8_t* q,
+                             float* d_eff, float* m_eff) {
+    switch (dtype) {
+        case 11: {  // Q2_K: scales[16], qs[64], d, dmin — 16 groups of 16
+            const uint8_t* sc = p;
+            const uint8_t* qs = p + 16;
+            float d = f16_to_f32(*(const uint16_t*)(p + 80));
+            float dmin = f16_to_f32(*(const uint16_t*)(p + 82));
+            for (int g = 0; g < 16; g++) {
+                d_eff[g] = d * (float)(sc[g] & 0xF);
+                m_eff[g] = -dmin * (float)(sc[g] >> 4);
+            }
+            for (int c = 0; c < 2; c++)           // 128-element chunks
+                for (int s = 0; s < 4; s++)       // 2-bit shifts
+                    for (int j = 0; j < 32; j++)
+                        q[c * 128 + s * 32 + j] = (int8_t)((qs[c * 32 + j] >> (2 * s)) & 3);
+            break;
+        }
+        case 12: {  // Q3_K: hmask[32], qs[64], scales[12] 6-bit, d — 16x16
+            const uint8_t* hm = p;
+            const uint8_t* qs = p + 32;
+            const uint8_t* sp = p + 96;
+            float d = f16_to_f32(*(const uint16_t*)(p + 108));
+            for (int j = 0; j < 16; j++) {
+                uint8_t lo = j < 8 ? (sp[j] & 0xF) : (sp[j - 8] >> 4);
+                uint8_t hi = (sp[8 + (j % 4)] >> (2 * (j / 4))) & 3;
+                d_eff[j] = d * (float)((int)(lo | (hi << 4)) - 32);
+                m_eff[j] = 0.0f;
+            }
+            for (int c = 0; c < 2; c++)
+                for (int s = 0; s < 4; s++)
+                    for (int j = 0; j < 32; j++) {
+                        int e = c * 128 + s * 32 + j;     // element index
+                        int v = (qs[c * 32 + j] >> (2 * s)) & 3;
+                        int high = (hm[e % 32] >> (e / 32)) & 1;
+                        q[e] = (int8_t)(v - (high ? 0 : 4));
+                    }
+            break;
+        }
+        case 13: {  // Q4_K: d, dmin, scales[12], qs[128] — 8 groups of 32
+            float d = f16_to_f32(*(const uint16_t*)p);
+            float dmin = f16_to_f32(*(const uint16_t*)(p + 2));
+            const uint8_t* sp = p + 4;
+            const uint8_t* qs = p + 16;
+            for (int g = 0; g < 8; g++) {
+                uint8_t sc, mn;
+                get_scale_min_k4(g, sp, &sc, &mn);
+                d_eff[g] = d * (float)sc;
+                m_eff[g] = -dmin * (float)mn;
+            }
+            for (int c = 0; c < 4; c++)           // 64-element chunks
+                for (int j = 0; j < 32; j++) {
+                    q[c * 64 + j] = (int8_t)(qs[c * 32 + j] & 0xF);
+                    q[c * 64 + 32 + j] = (int8_t)(qs[c * 32 + j] >> 4);
+                }
+            break;
+        }
+        case 14: {  // Q5_K: d, dmin, scales[12], qh[32], qs[128] — 8x32
+            float d = f16_to_f32(*(const uint16_t*)p);
+            float dmin = f16_to_f32(*(const uint16_t*)(p + 2));
+            const uint8_t* sp = p + 4;
+            const uint8_t* qh = p + 16;
+            const uint8_t* qs = p + 48;
+            for (int g = 0; g < 8; g++) {
+                uint8_t sc, mn;
+                get_scale_min_k4(g, sp, &sc, &mn);
+                d_eff[g] = d * (float)sc;
+                m_eff[g] = -dmin * (float)mn;
+            }
+            for (int c = 0; c < 4; c++) {
+                uint8_t m1 = (uint8_t)(1u << (2 * c)), m2 = (uint8_t)(2u << (2 * c));
+                for (int j = 0; j < 32; j++) {
+                    q[c * 64 + j] = (int8_t)((qs[c * 32 + j] & 0xF) | ((qh[j] & m1) ? 16 : 0));
+                    q[c * 64 + 32 + j] = (int8_t)((qs[c * 32 + j] >> 4) | ((qh[j] & m2) ? 16 : 0));
+                }
+            }
+            break;
+        }
+        case 15: {  // Q6_K: ql[128], qh[64], int8 scales[16], d — 16x16
+            const uint8_t* ql = p;
+            const uint8_t* qh = p + 128;
+            const int8_t* sc = (const int8_t*)(p + 192);
+            float d = f16_to_f32(*(const uint16_t*)(p + 208));
+            for (int g = 0; g < 16; g++) {
+                d_eff[g] = d * (float)sc[g];
+                m_eff[g] = 0.0f;
+            }
+            for (int c = 0; c < 2; c++) {         // 128-element chunks
+                const uint8_t* qlc = ql + c * 64;
+                const uint8_t* qhc = qh + c * 32;
+                int8_t* qc = q + c * 128;
+                for (int j = 0; j < 32; j++) {
+                    qc[j] = (int8_t)(((qlc[j] & 0xF) | (((qhc[j] >> 0) & 3) << 4)) - 32);
+                    qc[j + 32] = (int8_t)(((qlc[j + 32] & 0xF) | (((qhc[j] >> 2) & 3) << 4)) - 32);
+                    qc[j + 64] = (int8_t)(((qlc[j] >> 4) | (((qhc[j] >> 4) & 3) << 4)) - 32);
+                    qc[j + 96] = (int8_t)(((qlc[j + 32] >> 4) | (((qhc[j] >> 6) & 3) << 4)) - 32);
+                }
+            }
+            break;
+        }
+        case 16: {  // Q8_K: f32 d, int8 qs[256], i16 bsums[16] — 8 groups of 32
+            float d;
+            std::memcpy(&d, p, 4);
+            std::memcpy(q, p + 4, 256);
+            for (int g = 0; g < 8; g++) { d_eff[g] = d; m_eff[g] = 0.0f; }
+            break;
+        }
+    }
+}
+
+static void dequant_kquant(uint32_t dtype, const uint8_t* src, float* dst, int64_t n_sb) {
+    int bb = kTypes[dtype].block_bytes;
+    int group = kTypes[dtype].group;
+    int n_groups = 256 / group;
+    for (int64_t b = 0; b < n_sb; b++) {
+        int8_t q[256];
+        float d_eff[16], m_eff[16];
+        kquant_decode_sb(dtype, src + b * bb, q, d_eff, m_eff);
+        float* o = dst + b * 256;
+        for (int g = 0; g < n_groups; g++)
+            for (int j = 0; j < group; j++)
+                o[g * group + j] = (float)q[g * group + j] * d_eff[g] + m_eff[g];
+    }
+}
+
+static bool kquant_has_min(uint32_t dtype) {
+    return dtype == 11 || dtype == 13 || dtype == 14;  // Q2_K, Q4_K, Q5_K
 }
 
 // decode to qmm layout: int8 codes + f32 scale (+ f32 min)
@@ -445,7 +589,14 @@ RN_API int rn_tensor_f32(void* h, int64_t i, float* out, int threads) {
         return 0;
     }
     int bb = kTypes[t.dtype].block_bytes;
-    int64_t n_blocks = t.n_elements / QK;
+    int be = kTypes[t.dtype].block_elems;
+    int64_t n_blocks = t.n_elements / be;
+    if (be == 256) {
+        parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
+            dequant_kquant(t.dtype, t.data + lo * bb, out + lo * 256, hi - lo);
+        });
+        return 0;
+    }
     parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
         dequant_blocks(t.dtype, t.data + lo * bb, out + lo * QK, hi - lo);
     });
@@ -459,6 +610,22 @@ RN_API int rn_tensor_codes(void* h, int64_t i, int8_t* q, float* d, float* mn, i
     if (t.dtype < 2) { g_error = "not a quantized tensor"; return -1; }
     if (threads <= 0) threads = n_threads_default();
     int bb = kTypes[t.dtype].block_bytes;
+    int be = kTypes[t.dtype].block_elems;
+    if (be == 256) {
+        int group = kTypes[t.dtype].group;
+        int n_groups = 256 / group;
+        int64_t n_sb = t.n_elements / 256;
+        bool with_min = kquant_has_min(t.dtype);
+        if (with_min && !mn) { g_error = "format needs a mins buffer"; return -1; }
+        parallel_for(n_sb, threads, [&](int64_t lo, int64_t hi) {
+            float m_tmp[16];
+            for (int64_t b = lo; b < hi; b++) {
+                kquant_decode_sb(t.dtype, t.data + b * bb, q + b * 256,
+                                 d + b * n_groups, mn ? mn + b * n_groups : m_tmp);
+            }
+        });
+        return 0;
+    }
     int64_t n_blocks = t.n_elements / QK;
     parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
         decode_codes_blocks(t.dtype, t.data + lo * bb, q + lo * QK, d + lo,
@@ -478,4 +645,10 @@ RN_API int64_t rn_quantize(const float* x, int64_t n, uint32_t dtype, uint8_t* o
 
 RN_API int rn_block_bytes(uint32_t dtype) {
     return dtype < (uint32_t)kTypeCount ? kTypes[dtype].block_bytes : -1;
+}
+
+// Elements per scale group in the rn_tensor_codes layout (32 legacy,
+// 32 for Q4_K/Q5_K/Q8_K, 16 for Q2_K/Q3_K/Q6_K).
+RN_API int rn_group_size(uint32_t dtype) {
+    return dtype < (uint32_t)kTypeCount ? kTypes[dtype].group : -1;
 }

@@ -68,6 +68,11 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_uint32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
+        try:
+            lib.rn_group_size.restype = ctypes.c_int
+            lib.rn_group_size.argtypes = [ctypes.c_uint32]
+        except AttributeError:
+            pass  # older .so without K-quant support
         _lib = lib
         return lib
     _lib = False
@@ -139,16 +144,18 @@ class NativeModelFile:
         return out
 
     def to_codes(self, name: str, threads: int = 0):
-        """Quantized tensor -> (q int8 (out, in), d f32 (out, nb), m|None)."""
+        """Quantized tensor -> (q int8 (out, in), d f32 (out, nb), m|None)
+        where nb = in // group (group 32, or 16 for Q2/Q3/Q6_K)."""
         i, shape, dt = self._info(name)
         tname = container.TYPE_NAMES[dt]
         if tname in ("FP32", "FP16"):
             raise RWKVFileError(f"{name} is not quantized")
         out, inn = shape
-        nb = inn // 32
+        group = self._lib.rn_group_size(dt) if hasattr(self._lib, "rn_group_size") else 32
+        nb = inn // group
         q = np.empty((out, inn), dtype=np.int8)
         d = np.empty((out, nb), dtype=np.float32)
-        with_min = tname in ("Q4_1", "Q5_1")
+        with_min = tname in ("Q4_1", "Q5_1", "Q2_K", "Q4_K", "Q5_K")
         m = np.empty((out, nb), dtype=np.float32) if with_min else None
         rc = self._lib.rn_tensor_codes(
             self._h, i,

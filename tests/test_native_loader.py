@@ -61,6 +61,34 @@ def test_native_quantize_matches_committed_fixture():
     assert mine == tq[name].data
 
 
+@pytest.mark.parametrize("fmt", ["Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K"])
+def test_native_kquant_matches_python(fmt, tmp_path):
+    """C++ K-quant decode (dequant + qmm codes) is bit-exact with the Python
+    codec on a real quantized model file."""
+    from rwkv_tpu.formats.quantize import quantize_model_file
+
+    src = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    out = str(tmp_path / f"{fmt}.bin")
+    quantize_model_file(src, out, fmt)
+    nf = native_loader.NativeModelFile(out)
+    _, tensors = container.read_model_file(out)
+    checked_k = False
+    for tname in ["blocks.0.ffn.value.weight", "blocks.5.ffn.value.weight", "emb.weight"]:
+        rec = tensors[tname]
+        np.testing.assert_array_equal(nf.to_float32(tname), rec.to_float32())
+        if rec.type_name.endswith("_K"):
+            o, inn = rec.numpy_shape
+            q, d, m, g = quant.decode_blocks_grouped(rec.type_name, rec.data)
+            qn, dn, mn = nf.to_codes(tname)
+            np.testing.assert_array_equal(qn, q.reshape(o, inn))
+            np.testing.assert_array_equal(dn, d.reshape(o, inn // g))
+            if m is not None:
+                np.testing.assert_array_equal(mn, m.reshape(o, inn // g))
+            checked_k = True
+    assert checked_k, "no tensor actually used the K format"
+    nf.close()
+
+
 def test_native_bad_file(tmp_path):
     p = tmp_path / "bad.bin"
     p.write_bytes(b"\x00" * 64)
