@@ -90,3 +90,108 @@ class RWKVModel:
 
     def free(self):
         self._ctx = None
+
+
+# ---------------------------------------------------------------------------
+# rwkv_cpp_shared_library surface (reference python/rwkv_cpp/
+# rwkv_cpp_shared_library.py): the reference wraps every exported C function
+# in a Python method on RWKVSharedLibrary. Here the "library" is this package,
+# so the methods delegate to Context — existing code that drives the
+# function-level API keeps working unchanged.
+# ---------------------------------------------------------------------------
+
+# reference rwkv_cpp_shared_library.py:8-16
+QUANTIZED_FORMAT_NAMES = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "Q4_K", "Q5_K")
+
+
+class RWKVContext:
+    """Opaque handle matching the reference's ctypes context wrapper."""
+
+    def __init__(self, ctx: Context):
+        self.ptr = ctx  # the reference stores a ctypes pointer in .ptr
+
+
+class RWKVSharedLibrary:
+    """Method-for-method equivalent of the reference's shared-library wrapper
+    (rwkv_cpp_shared_library.py:26-373), minus the dlopen: the TPU runtime is
+    this package."""
+
+    def rwkv_init_from_file(self, model_file_path: str, thread_count: int = 0,
+                            gpu_layer_count: int = 0) -> RWKVContext:
+        del thread_count, gpu_layer_count  # XLA threads; TPU is the device
+        return RWKVContext(Context(model_file_path))
+
+    def rwkv_clone_context(self, ctx: RWKVContext, thread_count: int = 0) -> RWKVContext:
+        del thread_count
+        return RWKVContext(ctx.ptr.clone())
+
+    def rwkv_gpu_offload_layers(self, ctx: RWKVContext, layer_count: int) -> bool:
+        # everything already runs on the accelerator; mirrors the reference's
+        # "returns True if at least one layer was offloaded" contract
+        return True
+
+    def _eval_out(self, ctx, logits, state, state_out, logits_out):
+        state_buf = np.asarray(ctx.ptr.state_to_buffer(state))
+        if state_out is not None:
+            np.copyto(np.asarray(state_out), state_buf)
+        if logits_out is not None and logits is not None:
+            np.copyto(np.asarray(logits_out), np.asarray(logits, dtype=np.float32))
+        return True
+
+    def rwkv_eval(self, ctx: RWKVContext, token: int, state_in, state_out, logits_out) -> bool:
+        st = None if state_in is None else ctx.ptr.state_from_buffer(
+            np.asarray(state_in, dtype=np.float32))
+        logits, state = ctx.ptr.eval(int(token), st)
+        return self._eval_out(ctx, logits, state, state_out, logits_out)
+
+    def rwkv_eval_sequence(self, ctx: RWKVContext, tokens, state_in, state_out, logits_out) -> bool:
+        st = None if state_in is None else ctx.ptr.state_from_buffer(
+            np.asarray(state_in, dtype=np.float32))
+        logits, state = ctx.ptr.eval_sequence(list(tokens), st)
+        return self._eval_out(ctx, logits, state, state_out, logits_out)
+
+    def rwkv_eval_sequence_in_chunks(self, ctx: RWKVContext, tokens, chunk_size: int,
+                                     state_in, state_out, logits_out) -> bool:
+        st = None if state_in is None else ctx.ptr.state_from_buffer(
+            np.asarray(state_in, dtype=np.float32))
+        logits, state = ctx.ptr.eval_sequence_in_chunks(list(tokens), chunk_size, st)
+        return self._eval_out(ctx, logits, state, state_out, logits_out)
+
+    def rwkv_get_n_vocab(self, ctx: RWKVContext) -> int:
+        return ctx.ptr.n_vocab
+
+    def rwkv_get_n_embed(self, ctx: RWKVContext) -> int:
+        return ctx.ptr.n_embed
+
+    def rwkv_get_n_layer(self, ctx: RWKVContext) -> int:
+        return ctx.ptr.n_layer
+
+    def rwkv_get_state_len(self, ctx: RWKVContext) -> int:
+        return ctx.ptr.state_len
+
+    def rwkv_get_logits_len(self, ctx: RWKVContext) -> int:
+        return ctx.ptr.logits_len
+
+    def rwkv_init_state(self, ctx: RWKVContext, state) -> None:
+        np.copyto(np.asarray(state), np.asarray(ctx.ptr.init_state_buffer()))
+
+    def rwkv_free(self, ctx: RWKVContext) -> None:
+        ctx.ptr = None
+
+    def rwkv_quantize_model_file(self, in_path: str, out_path: str, format_name: str) -> bool:
+        from rwkv_tpu.formats.quantize import quantize_model_file
+
+        quantize_model_file(in_path, out_path, format_name)
+        return True
+
+    def rwkv_get_system_info_string(self) -> str:
+        from rwkv_tpu.runtime.context import system_info
+
+        return system_info()
+
+
+def load_rwkv_shared_library() -> RWKVSharedLibrary:
+    """Drop-in for rwkv_cpp_shared_library.load_rwkv_shared_library
+    (rwkv_cpp_shared_library.py:375-427): no .so discovery needed — the
+    runtime is this package."""
+    return RWKVSharedLibrary()

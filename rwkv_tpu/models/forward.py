@@ -39,7 +39,23 @@ def _use_pallas(explicit) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _wkv7(r, w, k, v, a, b, heads, valid, pallas):
+def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
+    """r.. (T, H, S) with valid (T,), or batched (B, T, H, S) with (B, T).
+    lw = log(w) when the caller has it for free (saves the fused kernel's
+    transcendentals)."""
+    if r.ndim == 4:
+        if _use_pallas(pallas) and r.shape[1] >= 16:
+            # batched prefill: the fused Pallas chunk kernel with (B, H)
+            # folded into its head grid (ops/pallas_wkv.py)
+            from rwkv_tpu.ops.pallas_wkv import wkv7_chunked_pallas_batched
+
+            lw = jnp.log(w) if lw is None else lw
+            return wkv7_chunked_pallas_batched(r, lw, k, v, a, b, heads, valid)
+        if r.shape[1] >= 16:
+            from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_batched
+
+            return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid)
+        return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
     if _use_pallas(pallas) and r.shape[0] >= 16:
         # prefill: chunk-parallel MXU formulation (ops/wkv_chunked.py);
         # decode (small T) keeps the XLA scan — measured faster than the
@@ -51,6 +67,12 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas):
 
 
 def _wkv56(r, k, v, tf, w, heads, valid, pallas):
+    if r.ndim == 4:
+        if r.shape[1] >= 16:
+            from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_batched
+
+            return wkv6_chunked_batched(r, k, v, tf, w, heads, valid)
+        return wkv_ops.wkv56_batched(r, k, v, tf, w, heads, valid)
     if _use_pallas(pallas) and r.shape[0] >= 16:
         from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_masked
 
@@ -126,7 +148,7 @@ def _lerp_mix(x, x_prev, mix):
 
 
 def _heads(x, H, S):
-    return x.reshape(x.shape[0], H, S)
+    return x.reshape(*x.shape[:-1], H, S)
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +165,10 @@ def _att_v4(lp, x_ln, x_prev, st, valid, step=False):
     if step:
         wkv, (aa, bb, pp) = wkv_ops.wkv4_step(
             k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"]
+        )
+    elif k.ndim == 3:
+        wkv, (aa, bb, pp) = wkv_ops.wkv4_batched(
+            k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid
         )
     else:
         wkv, (aa, bb, pp) = wkv_ops.wkv4(
@@ -167,9 +193,9 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     if step:
         out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], lp["time_decay"], heads)
     else:
-        w = jnp.broadcast_to(lp["time_decay"], (x_ln.shape[0], H, S))
+        w = jnp.broadcast_to(lp["time_decay"], r.shape)
         out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas)
-    x = group_norm_heads(out.reshape(-1, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
+    x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
     if g is not None:
         x = x * g
     return matmul(x, lp["att_o"]), heads
@@ -177,12 +203,11 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
 
 def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
-    T = x_ln.shape[0]
     sx = x_prev - x_ln
     xxx = x_ln + sx * lp["maa_x"]
-    five = jnp.tanh(matmul(xxx, lp["tm_w1"]))                    # (T, 5K)
-    five = five.reshape(T, 5, -1).transpose(1, 0, 2)             # (5, T, K)
-    mixes = jnp.einsum("itk,ike->ite", five, lp["tm_w2"])        # (5, T, E)
+    five = jnp.tanh(matmul(xxx, lp["tm_w1"]))                    # (..., T, 5K)
+    five = five.reshape(*five.shape[:-1], 5, -1)                 # (..., T, 5, K)
+    mixes = jnp.einsum("...ik,ike->i...e", five, lp["tm_w2"])    # (5, ..., T, E)
     mw, mk, mv, mr, mg = mixes
     xw = x_ln + (mw + lp["maa_w"]) * sx
     xk = x_ln + (mk + lp["maa_k"]) * sx
@@ -200,7 +225,7 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
         out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], _heads(w, H, S), heads)
     else:
         out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid, pallas)
-    x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
+    x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     x = x * g
     return matmul(x, lp["att_o"]), heads
 
@@ -208,16 +233,17 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
 def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig,
             pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
-    T = x_ln.shape[0]
-    sx = x_prev - x_ln                                          # (T, E)
-    xxx = sx[None, :, :] * lp["x_rwkvag"][:, None, :] + x_ln[None, :, :]  # (6, T, E)
+    sx = x_prev - x_ln                                          # (..., T, E)
+    mix = lp["x_rwkvag"].reshape((6,) + (1,) * (x_ln.ndim - 1) + (x_ln.shape[-1],))
+    xxx = sx[None] * mix + x_ln[None]                           # (6, ..., T, E)
     xr, xw, xk, xv, xa, xg = xxx
 
     r = matmul(xr, lp["att_r"])
     g = matmul(jax.nn.sigmoid(matmul(xg, lp["g1"])), lp["g2"])
     a = jax.nn.sigmoid(matmul(matmul(xa, lp["a1"]), lp["a2"]) + lp["a0"])
     w = matmul(jnp.tanh(matmul(xw, lp["w1"])), lp["w2"]) + lp["w0"]
-    w = jnp.exp(jax.nn.sigmoid(w) * jnp.float32(-0.606531))
+    lw = jax.nn.sigmoid(w) * jnp.float32(-0.606531)  # log-decay, free for kernels
+    w = jnp.exp(lw)
 
     k = matmul(xk, lp["att_k"])
     kk = l2_norm_rows(_heads(k * lp["k_k"], H, S))
@@ -238,12 +264,13 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
         # (the per-program overhead of tiny (1, HB, S) vector blocks dominates)
         out, heads = wkv_ops.wkv7_step(rh, wh, kh, vh, -kk, kk * ah, heads)
     else:
-        out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas)
+        out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas,
+                           lw=_heads(lw, H, S))
 
-    x = group_norm_heads(out.reshape(T, H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
+    x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     # bonus: v * sum_per_head(k * r * r_k) (rwkv_graph.inc:472-477)
     bonus = vh * jnp.sum(kh * rh * lp["r_k"], axis=-1, keepdims=True)
-    x = x + bonus.reshape(T, H * S)
+    x = x + bonus.reshape(*x.shape)
     x = x * g
     return matmul(x, lp["att_o"]), heads, v_first
 
@@ -459,6 +486,109 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
     return matmul(x, params["head"]), new_state
 
 
+def _token_shift_batched(x_ln, carry_xx, lengths):
+    """x_ln (B, T, E); carry_xx (B, E); returns (x_prev, new_carry) with the
+    carry taken at each stream's last *valid* position."""
+    x_prev = jnp.concatenate([carry_xx[:, None, :], x_ln[:, :-1]], axis=1)
+    idx = jnp.broadcast_to((lengths - 1)[:, None, None], (x_ln.shape[0], 1, x_ln.shape[-1]))
+    new_xx = jnp.take_along_axis(x_ln, idx, axis=1)[:, 0]
+    return x_prev, new_xx
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas"))
+def forward_seq(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    state,
+    lengths,
+    compute_logits: bool = True,
+    all_logits: bool = False,
+    pallas: bool | None = None,
+):
+    """Natively batched sequence forward: tokens (B, T) int32, state leaves
+    with a leading B axis, lengths (B,). Returns (logits (B, V) | (B, T, V) |
+    None, new_state).
+
+    Unlike vmap(forward), the batch is a real tensor dimension end-to-end:
+    projections are (B*T, in) matmuls, the wkv recurrence folds (B, H) into
+    one kernel call, and weights are indexed lazily (at_layer) so the Pallas
+    kernels stream each layer once per call — vmap would re-stream weights
+    per stream and cannot batch the fused chunk kernel at all."""
+    major = cfg.version_major
+    B, T = tokens.shape
+    valid = jnp.arange(T)[None, :] < lengths[:, None]           # (B, T)
+
+    x = params["emb"][tokens].astype(jnp.float32)               # (B, T, E)
+    x = layer_norm(x, params["ln0_w"], params["ln0_b"])
+    v_first0 = jnp.zeros_like(x)
+
+    st_layers = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+
+    from rwkv_tpu.ops import linear as linear_mod
+
+    weights = {k: v for k, v in params["layers"].items()
+               if isinstance(v, linear_mod.Linear)}
+    vectors = {k: v for k, v in params["layers"].items()
+               if not isinstance(v, linear_mod.Linear)}
+
+    def layer_fn(carry, xs):
+        x, v_first = carry
+        vecs, st, idx = xs
+        lp = {**vecs, **{k: linear_mod.at_layer(v, idx) for k, v in weights.items()}}
+
+        x_ln1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
+        x_prev1, att_xx = _token_shift_batched(x_ln1, st["att_xx"], lengths)
+
+        if major == 4:
+            att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, valid)
+            new_st = {"att_xx": att_xx, **new4}
+        elif major == 5:
+            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], valid, cfg, pallas)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        elif major == 6:
+            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], valid, cfg, pallas)
+            new_st = {"att_xx": att_xx, "heads": heads}
+        else:
+            att_out, heads, v_first = _att_v7(
+                lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg, pallas
+            )
+            new_st = {"att_xx": att_xx, "heads": heads}
+        x = x + att_out
+
+        x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
+        x_prev2, ffn_xx = _token_shift_batched(x_ln2, st["ffn_xx"], lengths)
+        if major == 7:
+            ffn_out = _ffn_v7(lp, x_ln2, x_prev2)
+        elif major == 6:
+            ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
+        else:
+            ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
+        x = x + ffn_out
+
+        new_st["ffn_xx"] = ffn_xx
+        return (x, v_first), new_st
+
+    (x, _), new_state = jax.lax.scan(
+        layer_fn,
+        (x, v_first0),
+        (vectors, st_layers, jnp.arange(cfg.n_layer)),
+    )
+    new_state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), new_state)
+
+    if not compute_logits:
+        return None, new_state
+
+    if all_logits:
+        x_out = layer_norm(x, params["ln_out_w"], params["ln_out_b"])
+        return matmul(x_out, params["head"]), new_state
+
+    idx = jnp.broadcast_to((lengths - 1)[:, None, None], (B, 1, x.shape[-1]))
+    x_last = jnp.take_along_axis(x, idx, axis=1)[:, 0]          # (B, E)
+    x_last = layer_norm(x_last, params["ln_out_w"], params["ln_out_b"])
+    return matmul(x_last, params["head"]), new_state
+
+
 def forward_batch(
     params, cfg: ModelConfig, tokens, state, lengths,
     compute_logits: bool = True, all_logits: bool = False, pallas: bool | None = None,
@@ -466,5 +596,6 @@ def forward_batch(
     """Batched forward over independent streams: tokens (B, T), state leaves
     with a leading B axis, lengths (B,). The batch axis is the data-parallel
     ('dp') mesh axis in sharded execution (parallel/shard.py)."""
-    fn = partial(forward, compute_logits=compute_logits, all_logits=all_logits, pallas=pallas)
-    return jax.vmap(lambda t, s, l: fn(params, cfg, t, s, l))(tokens, state, lengths)
+    return forward_seq(params, cfg, tokens, state, lengths,
+                       compute_logits=compute_logits, all_logits=all_logits,
+                       pallas=pallas)

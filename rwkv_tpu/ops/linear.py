@@ -163,6 +163,11 @@ def _matmul_quant_parity(x, lin: Linear):
 
 def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32."""
+    if x.ndim > 2 and lin.kind in ("quant", "qfast"):
+        # kernels and the parity int-dot take 2D x; fold leading dims
+        lead = x.shape[:-1]
+        y = matmul(x.reshape(-1, x.shape[-1]), lin)
+        return y.reshape(*lead, y.shape[-1])
     if lin.kind == "dense":
         w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
         if w.dtype == jnp.bfloat16:

@@ -21,15 +21,15 @@ def layer_norm(x, w, b, eps: float = 1e-5):
 
 
 def group_norm_heads(x, w, b, n_heads: int, eps: float):
-    """x (T, E); normalize per (token, head) group of size E//n_heads, then
+    """x (..., E); normalize per (token, head) group of size E//n_heads, then
     elementwise scale/bias over E."""
-    t, e = x.shape
-    g = x.reshape(t, n_heads, e // n_heads)
+    *lead, e = x.shape
+    g = x.reshape(*lead, n_heads, e // n_heads)
     mean = jnp.mean(g, axis=-1, keepdims=True)
     gc = g - mean
     var = jnp.mean(gc * gc, axis=-1, keepdims=True)
     g = gc / jnp.sqrt(var + jnp.float32(eps))
-    return g.reshape(t, e) * w + b
+    return g.reshape(*lead, e) * w + b
 
 
 def l2_norm_rows(x, eps: float = 1e-12):

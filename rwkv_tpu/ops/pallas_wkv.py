@@ -173,3 +173,167 @@ def wkv6_masked(r, k, v, tf, w, state, valid):
     m = valid[:, None, None].astype(r.dtype)
     one = jnp.ones_like(w)
     return wkv6_pallas(r * m, k * m, v, tf, jnp.where(m > 0, w, one), state)
+
+
+# ---------------------------------------------------------------------------
+# fused chunk-parallel wkv7 (the WY formulation of ops/wkv_chunked.py as one
+# Pallas kernel): per grid program a block of heads advances chunk-by-chunk
+# with the (transposed) state resident in VMEM, every product a 64x64-class
+# MXU dot. XLA's lowering of the same math spends most of its time in tiny
+# batched matmuls and relayouts; fusing the chunk pipeline here runs the
+# whole recurrence at MXU rate.
+#
+# Orientation: the kernel carries S^T (Sk, Sv) so every step is a natural
+# (C,S)/(C,C) dot_general with no physical transposes:
+#   M    = (ahat . bhat^T)[t,s] strictly-lower   -> (I-M)^-1 by Neumann
+#   hc^T = (I-M)^-1 (ahat S^T + (ahat.khat^T)_< v)
+#   out^T= rhat S^T + (rhat.bhat^T)_<= hc^T + (rhat.khat^T)_<= v
+#   S^T <- (S^T + bhat^T hc^T + khat^T v) * lam_C
+# ---------------------------------------------------------------------------
+
+def _wkv7_chunk_kernel(r_ref, lw_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+                       out_ref, sT_ref, s_scr, *, heads_per_block):
+    tb = pl.program_id(1)
+
+    @pl.when(tb == 0)
+    def _():
+        s_scr[...] = s0_ref[...]
+
+    C = r_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    lower_strict = (col < row).astype(jnp.float32)
+    lower_incl = (col <= row).astype(jnp.float32)
+    eye = (col == row).astype(jnp.float32)
+
+    def dot(x, y, dims):
+        return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # load blocks once; per-head slicing happens on values (static lax.slice —
+    # integer indexing a Ref's non-leading dim lowers to an unsupported
+    # dynamic_slice in Mosaic)
+    rb, lwb, kb, vb, ab, bbk = (ref[...] for ref in (r_ref, lw_ref, k_ref, v_ref, a_ref, b_ref))
+
+    for h in range(heads_per_block):
+        rr = rb[:, h, :]
+        lw = lwb[:, h, :]                            # log-decay (<= 0)
+        kk = kb[:, h, :]
+        vv = vb[:, h, :]
+        aa = ab[:, h, :]
+        bb = bbk[:, h, :]
+        sT = s_scr[h]                                # (Sk, Sv)
+
+        # ONE transcendental per element: lam = 1/exp(-L); lam_prev = shifted
+        # lam (transcendentals, not matmuls, dominate this kernel's runtime)
+        L = dot(lower_incl, lw, ((1,), (0,)))        # in-chunk cumsum on MXU
+        lam_inv = jnp.exp(-L)
+        lam = 1.0 / lam_inv
+        khat = kk * lam_inv
+        bhat = bb * lam_inv
+        lam_prev = jnp.concatenate([jnp.ones((1, lam.shape[1]), jnp.float32), lam[: C - 1]], axis=0)
+        ahat = aa * lam_prev
+        rhat = rr * lam
+
+        M = dot(ahat, bhat, ((1,), (1,))) * lower_strict       # (C_t, C_s)
+        A_k = dot(ahat, khat, ((1,), (1,))) * lower_strict
+        G_b = dot(rhat, bhat, ((1,), (1,))) * lower_incl
+        G_k = dot(rhat, khat, ((1,), (1,))) * lower_incl
+
+        inv = eye + M
+        p = M
+        steps = max(1, (C - 1).bit_length() - 1)
+        for _ in range(steps):
+            p = dot(p, p, ((1,), (0,)))
+            inv = dot(inv, eye + p, ((1,), (0,)))
+
+        rhsT = dot(ahat, sT, ((1,), (0,))) + dot(A_k, vv, ((1,), (0,)))
+        hcT = dot(inv, rhsT, ((1,), (0,)))           # (C, Sv)
+
+        out_ref[:, h, :] = (
+            dot(rhat, sT, ((1,), (0,)))
+            + dot(G_b, hcT, ((1,), (0,)))
+            + dot(G_k, vv, ((1,), (0,)))
+        )
+
+        lam_c = lam[C - 1, :]                        # (Sk,)
+        s_scr[h] = (
+            sT + dot(bhat, hcT, ((0,), (0,))) + dot(khat, vv, ((0,), (0,)))
+        ) * lam_c[:, None]
+
+    @pl.when(tb == pl.num_programs(1) - 1)
+    def _():
+        sT_ref[...] = s_scr[...]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "head_block"))
+def wkv7_chunked_pallas(r, lw, k, v, a, b, state, chunk: int = 64, head_block: int = 8):
+    """Fused chunked wkv7: r/k/v/a/b (T, H, S) f32, lw = log(decay) (<= 0;
+    callers have it for free — RWKV-7's decay is exp(-0.6065*sigmoid(.)));
+    state (H, Sv, Sk). T must be a multiple of `chunk` (pad with lw=0,
+    k=v=a=b=0). Returns (out (T, H, S), final state (H, Sv, Sk))."""
+    T, H, S = r.shape
+    assert T % chunk == 0
+    HB = min(head_block, H)
+    while H % HB:
+        HB -= 1
+
+    grid = (H // HB, T // chunk)
+    vec_spec = pl.BlockSpec((chunk, HB, S), lambda h, t: (t, h, 0), memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((HB, S, S), lambda h, t: (h, 0, 0), memory_space=pltpu.VMEM)
+
+    sT0 = jnp.swapaxes(state.astype(jnp.float32), -1, -2)  # (H, Sk, Sv)
+    out, sT = pl.pallas_call(
+        functools.partial(_wkv7_chunk_kernel, heads_per_block=HB),
+        grid=grid,
+        in_specs=[vec_spec] * 6 + [st_spec],
+        out_specs=[vec_spec, st_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((H, S, S), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((HB, S, S), jnp.float32)],
+    )(r.astype(jnp.float32), lw.astype(jnp.float32), k.astype(jnp.float32),
+      v.astype(jnp.float32), a.astype(jnp.float32), b.astype(jnp.float32), sT0)
+    return out, jnp.swapaxes(sT, -1, -2)
+
+
+def wkv7_chunked_pallas_batched(r, lw, k, v, a, b, state, valid, chunk: int = 64,
+                                head_block: int = 16):
+    """Batched fused chunked wkv7 via (B, H) folding (no vmap — the Pallas
+    batching rule can't lower this kernel, and folding is faster anyway:
+    the grid parallelizes over all B*H head-states at once).
+    Shapes: r/lw/.. (B, T, H, S), lw = log(decay); state (B, H, Sv, Sk);
+    valid (B, T)."""
+    from rwkv_tpu.ops.wkv_chunked import _fold_batch
+
+    B, T, H, S = r.shape
+    out, st = wkv7_chunked_pallas(
+        _fold_batch(r, 0.0, valid, chunk), _fold_batch(lw, 0.0, valid, chunk),
+        _fold_batch(k, 0.0, valid, chunk), _fold_batch(v, 0.0, valid, chunk),
+        _fold_batch(a, 0.0, valid, chunk), _fold_batch(b, 0.0, valid, chunk),
+        state.reshape(B * H, S, S), chunk=chunk, head_block=head_block,
+    )
+    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
+    return out, st.reshape(B, H, S, S)
+
+
+def wkv7_chunked_pallas_masked(r, lw, k, v, a, b, state, valid, chunk: int = 64):
+    """Padding-safe wrapper (lw = log decay); pads T up to a chunk multiple
+    (identity updates: lw=0, k=v=a=b=0)."""
+    T, H, S = r.shape
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    pad = Tp - T
+
+    def padded(x, fill):
+        m = valid[:, None, None].astype(x.dtype)
+        x = x * m + fill * (1 - m)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad, H, S), fill, x.dtype)], axis=0)
+        return x
+
+    out, st = wkv7_chunked_pallas(
+        padded(r, 0.0), padded(lw, 0.0), padded(k, 0.0),
+        padded(v, 0.0), padded(a, 0.0), padded(b, 0.0), state, chunk=chunk
+    )
+    return out[:T], st

@@ -40,7 +40,7 @@ QK = 32
 
 
 def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group, out_dtype):
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -61,7 +61,7 @@ def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group, out_dty
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
@@ -79,7 +79,9 @@ def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32):
     Returns (T, out)."""
     t, inn = x.shape
     out = q.shape[1]
-    # decode (small T): stream full rows; prefill (large T): bound VMEM
+    # decode (small T): stream full rows; prefill (large T): bound VMEM by
+    # tiling the token-row dimension too
+    TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, 512)
     IT = _pick_tile(inn, 2048 if t <= 64 else 512)
     if IT % group:
@@ -88,30 +90,30 @@ def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32):
     with_min = m is not None
     if with_min:
         dm = jnp.stack([d, m], axis=-1)
-        d_spec = pl.BlockSpec((IT // group, OT, 2), lambda o, i: (i, o, 0), memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((IT // group, OT, 2), lambda r, o, i: (i, o, 0), memory_space=pltpu.VMEM)
     else:
         dm = d
-        d_spec = pl.BlockSpec((IT // group, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM)
+        d_spec = pl.BlockSpec((IT // group, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM)
 
-    grid = (out // OT, inn // IT)
+    grid = (t // TT, out // OT, inn // IT)
     return pl.pallas_call(
         functools.partial(_qmm_kernel, with_min=with_min, group=group, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((t, IT), lambda o, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IT, OT), lambda o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, IT), lambda r, o, i: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM),
             d_spec,
         ],
-        out_specs=pl.BlockSpec((t, OT), lambda o, i: (0, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i: (r, o), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
-        scratch_shapes=[pltpu.VMEM((t, OT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
     )(x, q, dm)
 
 
 def _qmm_stacked_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group,
                         out_dtype):
     # l_ref is the scalar-prefetched layer index (consumed by the index maps)
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
@@ -132,7 +134,7 @@ def _qmm_stacked_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min,
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
@@ -149,6 +151,7 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
     than the matmuls themselves at decode batch sizes)."""
     t, inn = x.shape
     out = q.shape[2]
+    TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, 512)
     IT = _pick_tile(inn, 2048 if t <= 64 else 512)
 
@@ -156,24 +159,24 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
     if with_min:
         dm = jnp.stack([d, m], axis=-1)
         d_spec = pl.BlockSpec(
-            (1, IT // group, OT, 2), lambda o, i, l: (l[0], i, o, 0), memory_space=pltpu.VMEM
+            (1, IT // group, OT, 2), lambda r, o, i, l: (l[0], i, o, 0), memory_space=pltpu.VMEM
         )
     else:
         dm = d
         d_spec = pl.BlockSpec(
-            (1, IT // group, OT), lambda o, i, l: (l[0], i, o), memory_space=pltpu.VMEM
+            (1, IT // group, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(out // OT, inn // IT),
+        grid=(t // TT, out // OT, inn // IT),
         in_specs=[
-            pl.BlockSpec((t, IT), lambda o, i, l: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, IT, OT), lambda o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, IT), lambda r, o, i, l: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
             d_spec,
         ],
-        out_specs=pl.BlockSpec((t, OT), lambda o, i, l: (0, o), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((t, OT), jnp.float32)],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_qmm_stacked_kernel, with_min=with_min, group=group,

@@ -79,6 +79,54 @@ def wkv56(r, k, v, tf, w, state, valid):
     return out, state
 
 
+# ---------------------------------------------------------------------------
+# natively batched sequence scans (B, T, ...) — the vmap-free path used by
+# forward_seq; per-stream `valid` masks freeze the state on padded tokens
+# ---------------------------------------------------------------------------
+
+def wkv4_batched(k, v, time_first, time_decay, aa, bb, pp, valid):
+    """k, v: (B, T, E); aa/bb/pp: (B, E); valid: (B, T)."""
+
+    def step(carry, inp):
+        kt, vt, vm = inp
+        wkv, new = wkv4_step(kt, vt, time_first, time_decay, *carry)
+        m = vm[:, None]
+        carry = tuple(jnp.where(m, n, o) for n, o in zip(new, carry))
+        return carry, wkv
+
+    xs = (jnp.moveaxis(k, 1, 0), jnp.moveaxis(v, 1, 0), valid.T)
+    (aa, bb, pp), out = jax.lax.scan(step, (aa, bb, pp), xs)
+    return jnp.moveaxis(out, 0, 1), (aa, bb, pp)
+
+
+def wkv56_batched(r, k, v, tf, w, state, valid):
+    """r/k/v/w: (B, T, H, S); tf: (H, S); state: (B, H, S, S); valid: (B, T)."""
+
+    def step(s, inp):
+        rt, kt, vt, wt, vm = inp
+        out, s_new = wkv56_step(rt, kt, vt, tf, wt, s)
+        s = jnp.where(vm[:, None, None, None], s_new, s)
+        return s, out
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, k, v, w)) + (valid.T,)
+    state, out = jax.lax.scan(step, state, xs)
+    return jnp.moveaxis(out, 0, 1), state
+
+
+def wkv7_batched(r, w, k, v, a, b, state, valid):
+    """r/w/k/v/a/b: (B, T, H, S); state: (B, H, S, S); valid: (B, T)."""
+
+    def step(s, inp):
+        rt, wt, kt, vt, at, bt, vm = inp
+        out, s_new = wkv7_step(rt, wt, kt, vt, at, bt, s)
+        s = jnp.where(vm[:, None, None, None], s_new, s)
+        return s, out
+
+    xs = tuple(jnp.moveaxis(x, 1, 0) for x in (r, w, k, v, a, b)) + (valid.T,)
+    state, out = jax.lax.scan(step, state, xs)
+    return jnp.moveaxis(out, 0, 1), state
+
+
 def wkv4_step(k, v, time_first, time_decay, aa, bb, pp):
     """One v4 recurrence step, batched: k, v, aa, bb, pp (..., E).
     Returns (wkv (..., E), (aa, bb, pp))."""

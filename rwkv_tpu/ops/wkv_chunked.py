@@ -198,6 +198,48 @@ def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
     return out[:T], st
 
 
+def _fold_batch(x, fill, valid, chunk):
+    """(B, T, H, S) + valid (B, T) -> masked, T-padded, (Tp, B*H, S)."""
+    B, T, H, S = x.shape
+    m = valid[:, :, None, None].astype(x.dtype)
+    x = x * m + fill * (1 - m)
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    if Tp != T:
+        x = jnp.concatenate([x, jnp.full((B, Tp - T, H, S), fill, x.dtype)], axis=1)
+    return jnp.swapaxes(x, 0, 1).reshape(Tp, B * H, S)
+
+
+def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
+    """Natively batched chunked wkv7: fold (B, H) into the head axis so the
+    whole batch runs as ONE chunked scan (no vmap — a vmapped kernel would
+    re-batch every internal matmul). Shapes: r.. (B, T, H, S);
+    state (B, H, Sv, Sk); valid (B, T)."""
+    B, T, H, S = r.shape
+    out, st = wkv7_chunked(
+        _fold_batch(r, 0.0, valid, chunk), _fold_batch(w, 1.0, valid, chunk),
+        _fold_batch(k, 0.0, valid, chunk), _fold_batch(v, 0.0, valid, chunk),
+        _fold_batch(a, 0.0, valid, chunk), _fold_batch(b, 0.0, valid, chunk),
+        state.reshape(B * H, S, S), chunk=chunk,
+    )
+    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
+    return out, st.reshape(B, H, S, S)
+
+
+def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
+    """Batched chunked wkv6/wkv5 via (B, H) folding; tf (H, S) broadcasts
+    across streams. state (B, H, Sk, Sv); valid (B, T)."""
+    B, T, H, S = r.shape
+    tf_b = jnp.broadcast_to(tf, (B, H, S)).reshape(B * H, S)
+    out, st = wkv6_chunked(
+        _fold_batch(r, 0.0, valid, chunk), _fold_batch(k, 0.0, valid, chunk),
+        _fold_batch(v, 0.0, valid, chunk), tf_b,
+        _fold_batch(w, 1.0, valid, chunk),
+        state.reshape(B * H, S, S), chunk=chunk,
+    )
+    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
+    return out, st.reshape(B, H, S, S)
+
+
 def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
     """Padding-safe wrapper with the same signature as ops/wkv.py::wkv7.
     Pads T up to a chunk multiple internally."""

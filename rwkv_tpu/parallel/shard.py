@@ -53,6 +53,13 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
         else:
             q, d = P(*lead, "tp", None), P(*lead, "tp", None)
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
+    if lin.kind == "w8a8":
+        # q: (L, in, O); d: (L, O) per-output-channel
+        if mode == "col":
+            q, d = P(*lead, None, "tp"), P(*lead, "tp")
+        else:
+            q, d = P(*lead, "tp", None), P(*lead, None)
+        return Linear(q=q, d=d, m=None, kind=lin.kind, fmt=lin.fmt)
     # dense (L, in, out)
     spec = P(*lead, None, "tp") if mode == "col" else P(*lead, "tp", None)
     return Linear(w=spec, kind=lin.kind, fmt=lin.fmt)

@@ -36,6 +36,10 @@ class StreamConfig:
     logit_bias: Optional[dict] = None
     max_new_tokens: int = 256
     stop_token: Optional[int] = 0  # END_OF_TEXT in RWKV vocabularies
+    # reference chat semantics (chat_with_bot.py:245-247): each generated
+    # token subtracts presence + count*frequency from its future logits
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
 
 
 @dataclass
@@ -45,6 +49,7 @@ class _Stream:
     config: StreamConfig
     generated: list = field(default_factory=list)
     done: bool = False
+    token_counts: dict = field(default_factory=dict)
 
 
 class Server:
@@ -100,7 +105,12 @@ class Server:
 
     def _emit(self, stream: _Stream, logits: np.ndarray):
         c = stream.config
+        if stream.token_counts and (c.presence_penalty or c.frequency_penalty):
+            logits = np.array(logits, copy=True)
+            for t, n in stream.token_counts.items():
+                logits[t] -= c.presence_penalty + n * c.frequency_penalty
         tok = sample_logits(logits, c.temperature, c.top_p, c.logit_bias, rng=self._rng)
+        stream.token_counts[tok] = stream.token_counts.get(tok, 0) + 1
         stream.generated.append(tok)
         self._last_tok[stream.slot] = tok
         if (c.stop_token is not None and tok == c.stop_token) or len(

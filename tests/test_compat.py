@@ -32,3 +32,47 @@ def test_state_buffer_is_reference_layout():
     _, state = model.eval(34)
     # v4 layout: 5 vectors per layer, pp slots initialized at -1e30 then updated
     assert state.shape == (5 * 128 * 4,)
+
+
+def test_shared_library_function_surface(tmp_path):
+    """The function-level shim mirrors the reference's RWKVSharedLibrary
+    methods (rwkv_cpp_shared_library.py:26-373)."""
+    import numpy as np
+    from rwkv_tpu import compat
+    from tests.common import PROMPT, fixture
+
+    lib = compat.load_rwkv_shared_library()
+    ctx = lib.rwkv_init_from_file(fixture("tiny-rwkv-5v2-730K-FP32.bin"), 2)
+    n_vocab = lib.rwkv_get_n_vocab(ctx)
+    assert n_vocab == 256
+    assert lib.rwkv_get_n_embed(ctx) == 64
+    assert lib.rwkv_get_n_layer(ctx) == 12
+    assert lib.rwkv_gpu_offload_layers(ctx, 12) is True
+
+    state = np.empty(lib.rwkv_get_state_len(ctx), np.float32)
+    logits = np.empty(lib.rwkv_get_logits_len(ctx), np.float32)
+    lib.rwkv_init_state(ctx, state)
+    assert lib.rwkv_eval_sequence_in_chunks(ctx, PROMPT, 2, state, state, logits)
+    logits_chunked = logits.copy()
+
+    lib.rwkv_init_state(ctx, state)
+    for tok in PROMPT:
+        assert lib.rwkv_eval(ctx, tok, state, state, logits)
+    np.testing.assert_allclose(logits, logits_chunked, atol=1e-4, rtol=1e-4)
+
+    clone = lib.rwkv_clone_context(ctx, 2)
+    lib.rwkv_free(ctx)
+    lib.rwkv_init_state(clone, state)
+    assert lib.rwkv_eval_sequence(clone, PROMPT, state, state, logits)
+    np.testing.assert_allclose(logits, logits_chunked, atol=1e-4, rtol=1e-4)
+
+    assert "Q5_1" in compat.QUANTIZED_FORMAT_NAMES
+    assert isinstance(lib.rwkv_get_system_info_string(), str)
+
+    # quantize through the function surface, reload, still works
+    out = str(tmp_path / "q.bin")
+    assert lib.rwkv_quantize_model_file(fixture("tiny-rwkv-5v2-730K-FP32.bin"), out, "Q5_1")
+    ctx2 = lib.rwkv_init_from_file(out)
+    lib.rwkv_init_state(clone, state)
+    assert lib.rwkv_eval_sequence(ctx2, PROMPT, state, state, logits)
+    assert np.isfinite(logits).all()

@@ -77,3 +77,32 @@ def test_stop_token_ends_stream(ctx):
     assert srv.is_done(sid)
     assert srv.result(sid)[-1] == 0
     assert srv.active_streams == 0
+
+
+def test_presence_frequency_penalties():
+    """A strong presence penalty must prevent greedy repetition loops
+    (reference semantics, chat_with_bot.py:245-247)."""
+    from rwkv_tpu.runtime.context import Context
+    from rwkv_tpu.runtime.serve import Server, StreamConfig
+    from tests.common import fixture
+
+    ctx = Context(fixture("tiny-rwkv-5v2-730K-FP32.bin"))
+    prompt = list(b'"in the')
+
+    srv = Server(ctx, max_streams=1, seed=0)
+    sid = srv.add(prompt, StreamConfig(temperature=0.0, max_new_tokens=30, stop_token=None))
+    plain = srv.run_until_done()[sid]
+
+    srv2 = Server(ctx, max_streams=1, seed=0)
+    sid2 = srv2.add(prompt, StreamConfig(
+        temperature=0.0, max_new_tokens=30, stop_token=None,
+        presence_penalty=5.0, frequency_penalty=5.0,
+    ))
+    penalized = srv2.run_until_done()[sid2]
+
+    assert penalized != plain
+    # with a crushing penalty no token can repeat more than a couple times
+    counts = {}
+    for t in penalized:
+        counts[t] = counts.get(t, 0) + 1
+    assert max(counts.values()) <= 3, counts
