@@ -34,17 +34,33 @@ def system_info() -> str:
 
 
 class Context:
-    def __init__(self, model_path: str, parity: bool | None = None, _shared=None):
+    def __init__(self, model_path: str, parity: bool | None = None,
+                 quantize: str | None = None, _shared=None):
+        """quantize: on-device serving quantization of an FP16/FP32 model —
+        'int8' (per-32-block scales, fused dequant kernels) or 'w8a8'
+        (per-channel scales, native int8 MXU matmuls). Weights are quantized
+        once in HBM after loading; the model file is untouched. Implies fast
+        (non-parity) numerics."""
         if _shared is not None:
             self.cfg, self._params, self._jit_cache, self.parity = _shared
         else:
+            if quantize is not None and parity:
+                raise RWKVArgsError("quantize is incompatible with parity mode")
             if parity is None:
                 # parity (ggml-numerics) by default on CPU where the golden
                 # tests run; fast mode on accelerators
-                parity = jax.default_backend() == "cpu"
+                parity = jax.default_backend() == "cpu" and quantize is None
             self.parity = parity
             self.cfg, host_params = P.load_params(model_path, parity=parity)
-            self._params = jax.device_put(host_params)
+            params = jax.device_put(host_params)
+            if quantize is not None:
+                from rwkv_tpu.ops.linear import quantize_params_device
+
+                mode = {"int8": "block", "block": "block", "w8a8": "w8a8"}.get(quantize)
+                if mode is None:
+                    raise RWKVArgsError(f"unknown quantize mode {quantize!r}")
+                params = quantize_params_device(params, mode=mode)
+            self._params = params
             self._jit_cache = {}
         self.model_path = model_path
 

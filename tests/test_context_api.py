@@ -130,3 +130,19 @@ def test_token_range_validation(ctx):
 def test_system_info():
     s = system_info()
     assert "platform=" in s and "jax=" in s
+
+
+@pytest.mark.parametrize("mode", ["int8", "w8a8"])
+def test_context_on_device_quantize(mode):
+    """Context(quantize=...) — serving-time weight quantization of an FP32
+    file; logits must track the dense fast path."""
+    path = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    dense = Context(path, parity=False)
+    quant = Context(path, quantize=mode)
+    lg_d, _ = dense.eval_sequence(PROMPT)
+    lg_q, _ = quant.eval_sequence(PROMPT)
+    corr = np.corrcoef(np.asarray(lg_d), np.asarray(lg_q))[0, 1]
+    assert corr > 0.999, (mode, corr)
+
+    with pytest.raises(Exception):
+        Context(path, parity=True, quantize=mode)
