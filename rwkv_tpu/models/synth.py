@@ -44,21 +44,50 @@ PRESETS = {
 }
 
 
-def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0):
+def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
+                         quantize: str | None = None):
     """Like random_params but materializes big leaves directly on device with
     jax.random — avoids the slow host->device transfer of GB-scale synthetic
     weights (the axon tunnel moves ~25 MB/s). Values follow the same scale
     scheme as random_params, which is what keeps activations finite; exact
-    distributions don't matter for benchmarking."""
+    distributions don't matter for benchmarking.
+
+    quantize='int8' synthesizes the big projections directly as int8 qfast
+    Linears (codes + per-32-block scales) — never materializing a dense
+    copy, so 7B-class configs fit one 16 GB chip. (Real deployments get this
+    layout for free by loading an already-quantized model file.)"""
     import jax
     import jax.numpy as jnp
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
+
+    if quantize == "int8":
+        import math
+
+        from rwkv_tpu.ops.linear import Linear
+
+        layers = dict(host["layers"])
+        for i, k in enumerate(
+            ("att_k", "att_v", "att_r", "att_o", "att_gate", "ffn_k", "ffn_v", "ffn_r")
+        ):
+            lin = layers.get(k)
+            if not isinstance(lin, Linear):
+                continue
+            L_, inn, out = lin.w.shape
+            kq = jax.random.fold_in(jax.random.PRNGKey(seed), 1000 + i)
+            q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
+            # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)
+            d = jnp.full((L_, inn // 32, out), 0.5 / math.sqrt(inn) / 73.0, jnp.float32)
+            layers[k] = Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
+        host = dict(host)
+        host["layers"] = layers
+
     leaves, treedef = jax.tree.flatten(host)
 
     synth_idx = [
         i for i, leaf in enumerate(leaves)
-        if leaf.flags["OWNDATA"] is False and leaf.size >= (1 << 16)
+        if isinstance(leaf, np.ndarray)
+        and leaf.flags["OWNDATA"] is False and leaf.size >= (1 << 16)
     ]
     want_bf16 = np.dtype(dtype) == np.dtype("bfloat16")
 

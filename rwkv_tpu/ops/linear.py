@@ -295,7 +295,8 @@ def quantize_dense_w8a8_device(lin: Linear) -> Linear:
     return Linear(q=q, d=d, m=None, kind="w8a8", fmt="W8A8")
 
 
-def quantize_params_device(params, keys=None, mode: str = "block") -> dict:
+def quantize_params_device(params, keys=None, mode: str = "block",
+                           consume: bool = False) -> dict:
     """Quantize a param pytree's projection Linears to int8 on device.
 
     Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
@@ -303,6 +304,10 @@ def quantize_params_device(params, keys=None, mode: str = "block") -> dict:
     projections are quantized. `keys` overrides the layer-Linear selection.
     mode: 'block' (per-32-block scales, fused dequant kernels) or 'w8a8'
     (per-channel scales, native int8 MXU matmuls).
+    consume=True frees each dense HBM buffer as it is converted — required
+    to quantize models whose dense + quantized copies don't fit HBM together
+    (e.g. a 7B bf16 model on one 16 GB chip). The input pytree's converted
+    leaves become invalid.
     """
     quantize_one = {
         "block": quantize_dense_device,
@@ -317,7 +322,12 @@ def quantize_params_device(params, keys=None, mode: str = "block") -> dict:
             ("att_k", "att_v", "att_r", "att_o", "att_gate", "ffn_k", "ffn_v", "ffn_r")
         ]
     for k in keys:
-        layers[k] = quantize_one(layers[k])
+        lin = layers[k]
+        q = quantize_one(lin)
+        if consume and q is not lin and lin.kind == "dense" and hasattr(lin.w, "delete"):
+            jax.block_until_ready(jax.tree.leaves(q))
+            lin.w.delete()
+        layers[k] = q
     out["layers"] = layers
     return out
 
