@@ -59,8 +59,10 @@ class Server:
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.B = max_streams
+        # state kept layer-major (L, B, ...) — forward_step consumes that
+        # layout directly, avoiding two full-state transposes per decode step
         self._state = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.B,) + x.shape).copy(),
+            lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], self.B) + x.shape[1:]).copy(),
             fwd.init_state(self.cfg),
         )
         self._last_tok = np.zeros(self.B, np.int32)
@@ -92,7 +94,7 @@ class Server:
             self.ctx._params, self.cfg, jnp.asarray(padded), slot_state, jnp.int32(t)
         )
         self._state = jax.tree.map(
-            lambda b, s: b.at[slot].set(s), self._state, slot_state
+            lambda b, s: b.at[:, slot].set(s), self._state, slot_state
         )
         sid = self._next_sid
         self._next_sid += 1
@@ -131,16 +133,17 @@ class Server:
         if not self._by_slot:
             return {}
         logits, new_state = fwd.forward_step(
-            self.ctx._params, self.cfg, jnp.asarray(self._last_tok), self._state
+            self.ctx._params, self.cfg, jnp.asarray(self._last_tok), self._state,
+            layer_major=True,
         )
-        # only active slots advance their state
+        # only active slots advance their state (B is axis 1, layer-major)
         active = np.zeros(self.B, bool)
         for s in self._by_slot.values():
             active[s.slot] = True
         mask = jnp.asarray(active)
         self._state = jax.tree.map(
             lambda n, o: jnp.where(
-                mask.reshape((self.B,) + (1,) * (n.ndim - 1)), n, o
+                mask.reshape((1, self.B) + (1,) * (n.ndim - 2)), n, o
             ),
             new_state,
             self._state,

@@ -161,3 +161,36 @@ def test_perplexity_harness():
             losses.append(-logp[tokens[i + 1]])
     expected = float(np.exp(np.mean(losses)))
     assert abs(r.perplexity - expected) / expected < 1e-3
+
+
+def test_quantization_perplexity_deltas(tmp_path):
+    """BASELINE.md's headline table is perplexity-vs-bit-width on RWKV-4 Pile
+    169M (unfetchable here); the measurable analogue: on the trained tiny
+    model, quantized perplexity must stay close to FP32 and degrade
+    monotonically with coarser formats."""
+    from rwkv_tpu.formats.quantize import quantize_model_file
+    from rwkv_tpu.runtime.context import Context
+    from rwkv_tpu.utils.perplexity import measure_perplexity
+
+    src = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    text = (
+        b"in the beginning the structure of the system was simple, and the "
+        b"people who used it understood the structure of the system well."
+    )
+    tokens = list(text)
+
+    def ppl(path):
+        return measure_perplexity(Context(path), tokens, ignore_first_n_tokens=8).perplexity
+
+    base = ppl(src)
+    results = {}
+    for fmt in ("Q8_0", "Q5_1", "Q4_0"):
+        out = str(tmp_path / f"{fmt}.bin")
+        quantize_model_file(src, out, fmt)
+        results[fmt] = ppl(out)
+
+    # deltas vs FP32 are small and ordered by bit width (same shape as the
+    # reference's published table, README.md:25-31)
+    assert abs(results["Q8_0"] - base) < 0.15 * base, (base, results)
+    assert abs(results["Q5_1"] - base) < 0.30 * base, (base, results)
+    assert results["Q4_0"] >= results["Q8_0"] - 0.05 * base, results
