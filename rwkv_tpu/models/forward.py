@@ -57,9 +57,8 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
             return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid)
         return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
     if _use_pallas(pallas) and r.shape[0] >= 16:
-        # prefill: chunk-parallel MXU formulation (ops/wkv_chunked.py);
-        # decode (small T) keeps the XLA scan — measured faster than the
-        # sequential Pallas kernel at T=1 (7.1 vs 8.3 ms/step on v5e)
+        # single-stream prefill: chunk-parallel MXU formulation; short
+        # sequences keep the XLA scan (kernel launch overhead dominates)
         from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_masked
 
         return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid)

@@ -5,6 +5,7 @@ rwkv_world_tokenizer.test.py) plus end-to-end convert->load and LoRA-merge
 checks the reference only exercises manually.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -194,3 +195,22 @@ def test_quantization_perplexity_deltas(tmp_path):
     assert abs(results["Q8_0"] - base) < 0.15 * base, (base, results)
     assert abs(results["Q5_1"] - base) < 0.30 * base, (base, results)
     assert results["Q4_0"] >= results["Q8_0"] - 0.05 * base, results
+
+
+def test_generate_completions_cli():
+    """App-level smoke test (reference python/generate_completions.py):
+    drive the CLI end-to-end as a subprocess on the tiny model."""
+    import subprocess
+    import sys
+
+    path = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "rwkv_tpu.tools.generate_completions", path,
+         "--prompt", '"in the beginning', "--count", "1", "--tokens", "8",
+         "--temperature", "0.0"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tok/s" in r.stdout or "Took" in r.stdout or len(r.stdout) > 0
