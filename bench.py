@@ -67,6 +67,21 @@ def main():
     jax.block_until_ready(jax.tree.leaves(qparams))
     decode_tps = measure(qparams, "decode int8 (Q8-class serving)")
 
+    # throughput-oriented point (stderr only): larger batch
+    B32 = 32
+    state32 = G.batched_init_state(cfg, B32)
+    tok32 = jnp.zeros((B32,), jnp.int32)
+    toks, _ = G.greedy_decode(qparams, cfg, tok32, state32, steps=steps)
+    _ = jax.device_get(toks)
+    t0 = time.time()
+    for _i in range(reps):
+        toks, _ = G.greedy_decode(qparams, cfg, tok32, state32, steps=steps)
+    _ = jax.device_get(toks)
+    dt32 = (time.time() - t0) / reps
+    print(f"decode int8 batch 32: {B32*steps/dt32:.1f} tok/s "
+          f"({1000*dt32/steps:.2f} ms/step)", file=sys.stderr)
+    del state32
+
     # prefill throughput (secondary, stderr only)
     T = 512
     ptoks = jnp.zeros((B, T), jnp.int32)

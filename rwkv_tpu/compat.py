@@ -114,12 +114,25 @@ class RWKVContext:
 class RWKVSharedLibrary:
     """Method-for-method equivalent of the reference's shared-library wrapper
     (rwkv_cpp_shared_library.py:26-373), minus the dlopen: the TPU runtime is
-    this package."""
+    this package. Error reporting differs by design: the C API returns false
+    and stashes a thread-local flag (rwkv_error_handling.inc:1-16); here
+    failures raise typed RWKV*Error exceptions, so the print-errors toggle
+    and last-error accessor exist for signature parity only."""
 
     def rwkv_init_from_file(self, model_file_path: str, thread_count: int = 0,
                             gpu_layer_count: int = 0) -> RWKVContext:
         del thread_count, gpu_layer_count  # XLA threads; TPU is the device
         return RWKVContext(Context(model_file_path))
+
+    # --- error accessors (rwkv.h:76-84) ---
+    def rwkv_set_print_errors(self, ctx, print_errors: bool) -> None:
+        (ctx if ctx is not None else self).__dict__["print_errors"] = bool(print_errors)
+
+    def rwkv_get_print_errors(self, ctx) -> bool:
+        return (ctx if ctx is not None else self).__dict__.get("print_errors", True)
+
+    def rwkv_get_last_error(self, ctx) -> int:
+        return 0  # failures raise typed exceptions instead of setting flags
 
     def rwkv_clone_context(self, ctx: RWKVContext, thread_count: int = 0) -> RWKVContext:
         del thread_count

@@ -76,3 +76,15 @@ def test_shared_library_function_surface(tmp_path):
     lib.rwkv_init_state(clone, state)
     assert lib.rwkv_eval_sequence(ctx2, PROMPT, state, state, logits)
     assert np.isfinite(logits).all()
+
+
+def test_shared_library_error_accessors():
+    from rwkv_tpu import compat
+    from tests.common import fixture
+
+    lib = compat.load_rwkv_shared_library()
+    ctx = lib.rwkv_init_from_file(fixture("tiny-rwkv-5v2-730K-FP32.bin"))
+    assert lib.rwkv_get_print_errors(ctx) is True
+    lib.rwkv_set_print_errors(ctx, False)
+    assert lib.rwkv_get_print_errors(ctx) is False
+    assert lib.rwkv_get_last_error(ctx) == 0
