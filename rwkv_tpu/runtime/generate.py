@@ -34,9 +34,12 @@ def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
         return (nxt, st), nxt
 
     # keep the state layer-major inside the loop (one transpose per call,
-    # not two full-state copies per step)
+    # not two full-state copies per step); unroll a window of steps so XLA
+    # pipelines weight streaming across steps (+23% with the unrolled layer
+    # loop on a 1.5B int8 config)
     st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
-    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), None, length=steps)
+    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), None, length=steps,
+                                    unroll=min(8, steps))
     state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 
@@ -77,7 +80,8 @@ def sampled_decode(
 
     keys = jax.random.split(key, steps)
     st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
-    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), keys)
+    (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), keys,
+                                    unroll=min(8, steps))
     state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 
