@@ -500,7 +500,7 @@ def _token_shift_batched(x_ln, carry_xx, lengths):
     return x_prev, new_xx
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas"))
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas", "remat"))
 def forward_seq(
     params,
     cfg: ModelConfig,
@@ -510,6 +510,7 @@ def forward_seq(
     compute_logits: bool = True,
     all_logits: bool = False,
     pallas: bool | None = None,
+    remat: bool = False,
 ):
     """Natively batched sequence forward: tokens (B, T) int32, state leaves
     with a leading B axis, lengths (B,). Returns (logits (B, V) | (B, T, V) |
@@ -574,6 +575,12 @@ def forward_seq(
         new_st["ffn_xx"] = ffn_xx
         return (x, v_first), new_st
 
+    if remat:
+        # rematerialize per-layer activations under autodiff: the backward
+        # pass recomputes each layer instead of storing O(L) (B, T, E)
+        # intermediates — the standard FLOPs-for-HBM trade for training
+        layer_fn = jax.checkpoint(layer_fn)
+
     (x, _), new_state = jax.lax.scan(
         layer_fn,
         (x, v_first0),
@@ -597,10 +604,11 @@ def forward_seq(
 def forward_batch(
     params, cfg: ModelConfig, tokens, state, lengths,
     compute_logits: bool = True, all_logits: bool = False, pallas: bool | None = None,
+    remat: bool = False,
 ):
     """Batched forward over independent streams: tokens (B, T), state leaves
     with a leading B axis, lengths (B,). The batch axis is the data-parallel
     ('dp') mesh axis in sharded execution (parallel/shard.py)."""
     return forward_seq(params, cfg, tokens, state, lengths,
                        compute_logits=compute_logits, all_logits=all_logits,
-                       pallas=pallas)
+                       pallas=pallas, remat=remat)

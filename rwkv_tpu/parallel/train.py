@@ -30,7 +30,8 @@ def next_token_loss(params, cfg: ModelConfig, tokens, lengths):
         lambda x: jnp.broadcast_to(x, (B,) + x.shape), fwd.init_state(cfg)
     )
     logits, _ = fwd.forward_batch(
-        params, cfg, tokens, state, lengths, compute_logits=True, all_logits=True
+        params, cfg, tokens, state, lengths, compute_logits=True, all_logits=True,
+        remat=True,  # recompute layers in backward: O(1) activation memory in L
     )
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
