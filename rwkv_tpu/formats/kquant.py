@@ -306,20 +306,19 @@ def quantize_q4_k(x: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+
+def _dequant_via_codes(fmt: str, raw) -> np.ndarray:
+    """All dequantizers derive from the structured decode (decode_blocks is
+    the single copy of each format's bit-unpacking): y = q*d (+ m) per group."""
+    q, d, m, g = decode_blocks(fmt, raw)
+    y = q.astype(np.float32) * d[:, None]
+    if m is not None:
+        y = y + m[:, None]
+    return y.reshape(-1, QK_K)
+
+
 def dequantize_q4_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q4_K")
-    nsb = blk.shape[0]
-    d = blk[:, 0:2].copy().view(np.float16).reshape(nsb).astype(np.float32)
-    dmin = blk[:, 2:4].copy().view(np.float16).reshape(nsb).astype(np.float32)
-    sc, mn = _unpack_scales_k4(blk[:, 4:16])
-    qs = blk[:, 16:144].reshape(nsb, 4, 32)
-    lo = qs & 0xF
-    hi = qs >> 4
-    q = np.stack([lo, hi], axis=2).reshape(nsb, 8, 32)  # (nsb, sub, 32)
-    d_eff = d[:, None] * sc.astype(np.float32)
-    m_eff = dmin[:, None] * mn.astype(np.float32)
-    y = q.astype(np.float32) * d_eff[:, :, None] - m_eff[:, :, None]
-    return y.reshape(nsb, QK_K)
+    return _dequant_via_codes("Q4_K", raw)
 
 
 # ---------------------------------------------------------------------------
@@ -374,23 +373,7 @@ def quantize_q5_k(x: np.ndarray) -> bytes:
 
 
 def dequantize_q5_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q5_K")
-    nsb = blk.shape[0]
-    d = blk[:, 0:2].copy().view(np.float16).reshape(nsb).astype(np.float32)
-    dmin = blk[:, 2:4].copy().view(np.float16).reshape(nsb).astype(np.float32)
-    sc, mn = _unpack_scales_k4(blk[:, 4:16])
-    qh = blk[:, 16:48]                                  # (nsb, 32)
-    qs = blk[:, 48:176].reshape(nsb, 4, 32)
-    lo = qs & 0xF
-    hi = qs >> 4
-    shifts = (2 * np.arange(4)[:, None] + np.arange(2)[None, :]).astype(np.uint8)  # (4,2)
-    hbits = (qh[:, None, None, :] >> shifts[None, :, :, None]) & 1                  # (nsb,4,2,32)
-    q = np.stack([lo, hi], axis=2)                       # (nsb, 4, 2, 32)
-    q = (q | (hbits << 4)).reshape(nsb, 8, 32)
-    d_eff = d[:, None] * sc.astype(np.float32)
-    m_eff = dmin[:, None] * mn.astype(np.float32)
-    y = q.astype(np.float32) * d_eff[:, :, None] - m_eff[:, :, None]
-    return y.reshape(nsb, QK_K)
+    return _dequant_via_codes("Q5_K", raw)
 
 
 # ---------------------------------------------------------------------------
@@ -448,21 +431,7 @@ def quantize_q6_k(x: np.ndarray) -> bytes:
 
 
 def dequantize_q6_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q6_K")
-    nsb = blk.shape[0]
-    ql = blk[:, 0:128].reshape(nsb, 2, 2, 32)            # (nsb, chunk, half, 32)
-    qh = blk[:, 128:192].reshape(nsb, 2, 32)
-    sc = blk[:, 192:208].copy().view(np.int8).astype(np.float32)  # (nsb, 16)
-    d = blk[:, 208:210].copy().view(np.float16).reshape(nsb).astype(np.float32)
-
-    q1 = (ql[:, :, 0, :] & 0xF) | (((qh >> 0) & 3) << 4)
-    q2 = (ql[:, :, 1, :] & 0xF) | (((qh >> 2) & 3) << 4)
-    q3 = (ql[:, :, 0, :] >> 4) | (((qh >> 4) & 3) << 4)
-    q4 = (ql[:, :, 1, :] >> 4) | (((qh >> 6) & 3) << 4)
-    q = np.stack([q1, q2, q3, q4], axis=2).astype(np.int32) - 32   # (nsb, 2, 4, 32)
-    q = q.reshape(nsb, 16, 16)
-    y = d[:, None, None] * sc.reshape(nsb, 16)[:, :, None] * q.astype(np.float32)
-    return y.reshape(nsb, QK_K)
+    return _dequant_via_codes("Q6_K", raw)
 
 
 # ---------------------------------------------------------------------------
@@ -523,20 +492,7 @@ def quantize_q2_k(x: np.ndarray) -> bytes:
 
 
 def dequantize_q2_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q2_K")
-    nsb = blk.shape[0]
-    sc_q = blk[:, 0:16]
-    qs = blk[:, 16:80].reshape(nsb, 2, 32)
-    d = blk[:, 80:82].copy().view(np.float16).reshape(nsb).astype(np.float32)
-    dmin = blk[:, 82:84].copy().view(np.float16).reshape(nsb).astype(np.float32)
-
-    shifts = np.arange(4, dtype=np.uint8) * 2
-    q = (qs[:, :, None, :] >> shifts[None, None, :, None]) & 3   # (nsb, 2, 4, 32)
-    q = q.reshape(nsb, 2, 4, 2, 16).reshape(nsb, 16, 16)
-    d_eff = d[:, None] * (sc_q & 0xF).astype(np.float32)
-    m_eff = dmin[:, None] * (sc_q >> 4).astype(np.float32)
-    y = d_eff[:, :, None] * q.astype(np.float32) - m_eff[:, :, None]
-    return y.reshape(nsb, QK_K)
+    return _dequant_via_codes("Q2_K", raw)
 
 
 # ---------------------------------------------------------------------------
@@ -620,21 +576,7 @@ def quantize_q3_k(x: np.ndarray) -> bytes:
 
 
 def dequantize_q3_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q3_K")
-    nsb = blk.shape[0]
-    hmask = blk[:, 0:32]
-    qs = blk[:, 32:96].reshape(nsb, 2, 32)
-    sc = _unpack_scales_q3(blk[:, 96:108]).astype(np.float32)   # (nsb, 16)
-    d = blk[:, 108:110].copy().view(np.float16).reshape(nsb).astype(np.float32)
-
-    shifts = np.arange(4, dtype=np.uint8) * 2
-    q = ((qs[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int32)  # (nsb,2,4,32)
-    bitpos = np.arange(8, dtype=np.uint8)
-    hi = ((hmask[:, None, :] >> bitpos[None, :, None]) & 1).astype(np.int32)       # (nsb,8,32)
-    q = q.reshape(nsb, 8, 32) - np.where(hi != 0, 0, 4)
-    q = q.reshape(nsb, 16, 16)
-    y = d[:, None, None] * sc[:, :, None] * q.astype(np.float32)
-    return y.reshape(nsb, QK_K)
+    return _dequant_via_codes("Q3_K", raw)
 
 
 # ---------------------------------------------------------------------------
@@ -643,11 +585,7 @@ def dequantize_q3_k(raw) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def dequantize_q8_k(raw) -> np.ndarray:
-    blk = _blockify(raw, "Q8_K")
-    nsb = blk.shape[0]
-    d = blk[:, 0:4].copy().view(np.float32).reshape(nsb)
-    q = blk[:, 4:260].copy().view(np.int8).astype(np.float32)
-    return d[:, None] * q
+    return _dequant_via_codes("Q8_K", raw)
 
 
 # ---------------------------------------------------------------------------

@@ -43,8 +43,9 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
     """r.. (T, H, S) with valid (T,), or batched (B, T, H, S) with (B, T).
     lw = log(w) when the caller has it for free (saves the fused kernel's
     transcendentals)."""
+    on_tpu = jax.default_backend() == "tpu"
     if r.ndim == 4:
-        if _use_pallas(pallas) and r.shape[1] >= 16:
+        if _use_pallas(pallas) and r.shape[1] >= 16 and on_tpu:
             # batched prefill: the fused Pallas chunk kernel with (B, H)
             # folded into its head grid (ops/pallas_wkv.py)
             from rwkv_tpu.ops.pallas_wkv import wkv7_chunked_pallas_batched
@@ -57,8 +58,18 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
             return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid)
         return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
     if _use_pallas(pallas) and r.shape[0] >= 16:
-        # single-stream prefill: chunk-parallel MXU formulation; short
-        # sequences keep the XLA scan (kernel launch overhead dominates)
+        # single-stream prefill: the fused chunk kernel at B=1 on TPU, the
+        # pure-jnp chunk-parallel form elsewhere; short sequences keep the
+        # XLA scan (kernel launch overhead dominates)
+        if on_tpu:
+            from rwkv_tpu.ops.pallas_wkv import wkv7_chunked_pallas_batched
+
+            lw = jnp.log(w) if lw is None else lw
+            out, st = wkv7_chunked_pallas_batched(
+                r[None], lw[None], k[None], v[None], a[None], b[None],
+                heads[None], valid[None],
+            )
+            return out[0], st[0]
         from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_masked
 
         return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid)

@@ -316,24 +316,3 @@ def wkv7_chunked_pallas_batched(r, lw, k, v, a, b, state, valid, chunk: int = 64
     )
     out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
     return out, st.reshape(B, H, S, S)
-
-
-def wkv7_chunked_pallas_masked(r, lw, k, v, a, b, state, valid, chunk: int = 64):
-    """Padding-safe wrapper (lw = log decay); pads T up to a chunk multiple
-    (identity updates: lw=0, k=v=a=b=0)."""
-    T, H, S = r.shape
-    Tp = ((T + chunk - 1) // chunk) * chunk
-    pad = Tp - T
-
-    def padded(x, fill):
-        m = valid[:, None, None].astype(x.dtype)
-        x = x * m + fill * (1 - m)
-        if pad:
-            x = jnp.concatenate([x, jnp.full((pad, H, S), fill, x.dtype)], axis=0)
-        return x
-
-    out, st = wkv7_chunked_pallas(
-        padded(r, 0.0), padded(lw, 0.0), padded(k, 0.0),
-        padded(v, 0.0), padded(a, 0.0), padded(b, 0.0), state, chunk=chunk
-    )
-    return out[:T], st

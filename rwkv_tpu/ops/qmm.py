@@ -32,7 +32,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -184,17 +183,6 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, dm)
-
-
-def repack_for_qmm(q_codes: np.ndarray, d: np.ndarray, m):
-    """Row-major quant fields (out, nb, g)/(out, nb) -> kernel layout
-    ((in, out) int8, (nb, out) f32, (nb, out) f32 | None)."""
-    out, nb, g = q_codes.shape
-    return (
-        np.ascontiguousarray(q_codes.reshape(out, nb * g).T),
-        np.ascontiguousarray(d.astype(np.float32).T),
-        None if m is None else np.ascontiguousarray(m.astype(np.float32).T),
-    )
 
 
 def qmm_reference(x, q, d, m=None, group: int = QK):

@@ -67,3 +67,51 @@ def test_qfast_full_model_matches_parity_quality():
     # committed Q5_1 oracle sum is +48.07; weights-only dequant lands near it
     ds = logit_diff_sum(logits, expected)
     assert abs(ds) <= 48.068733 * 1.10, ds
+
+
+@pytest.mark.parametrize("fmt", ["Q5_1", "Q8_0", "Q4_K", "Q6_K"])
+def test_qmm_stacked_matches_per_layer(fmt):
+    """The scalar-prefetch layer-stacked kernel (the int8 decode hot path)
+    must select the right layer's tiles and match the unstacked kernel, for
+    both 32- and 16-element scale groups."""
+    from rwkv_tpu.ops.linear import from_record, group_of
+
+    L, out, inn = 3, 128, 512
+    lins = []
+    for i in range(L):
+        w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
+        lins.append(from_record(make_record(f"w{i}", w, fmt), parity=False))
+    g = group_of(fmt)
+    q = jnp.stack([jnp.asarray(l.q) for l in lins])
+    d = jnp.stack([jnp.asarray(l.d) for l in lins])
+    m = None if lins[0].m is None else jnp.stack([jnp.asarray(l.m) for l in lins])
+    x = jnp.asarray(RNG.standard_normal((8, inn)).astype(np.float32))
+
+    for layer in range(L):
+        y_ref = qmm.qmm_reference(
+            x, jnp.asarray(lins[layer].q), jnp.asarray(lins[layer].d),
+            None if m is None else jnp.asarray(lins[layer].m), group=g,
+        )
+        with pltpu.force_tpu_interpret_mode():
+            y_st = qmm.qmm_stacked(x, q, d, m, jnp.int32(layer), group=g)
+        np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("fmt", ["Q2_K", "Q6_K"])
+def test_qmm_group16_kernel(fmt):
+    """The Pallas kernel with 16-element scale groups (Q2/Q3/Q6_K)."""
+    from rwkv_tpu.ops.linear import from_record, group_of
+
+    out, inn = 128, 512
+    w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
+    lin = from_record(make_record("w", w, fmt), parity=False)
+    g = group_of(fmt)
+    assert g == 16
+    x = jnp.asarray(RNG.standard_normal((8, inn)).astype(np.float32))
+    y_ref = qmm.qmm_reference(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
+                              None if lin.m is None else jnp.asarray(lin.m), group=g)
+    with pltpu.force_tpu_interpret_mode():
+        y_pl = qmm.qmm(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
+                       None if lin.m is None else jnp.asarray(lin.m), group=g)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
