@@ -12,11 +12,13 @@ the constructor signature tolerates the reference's (library, path, ...) form.
 
 from __future__ import annotations
 
+import sys
 from typing import Optional
 
 import numpy as np
 
 from rwkv_tpu.runtime.context import Context
+from rwkv_tpu.runtime.errors import RWKVError
 
 
 class RWKVModel:
@@ -114,15 +116,28 @@ class RWKVContext:
 class RWKVSharedLibrary:
     """Method-for-method equivalent of the reference's shared-library wrapper
     (rwkv_cpp_shared_library.py:26-373), minus the dlopen: the TPU runtime is
-    this package. Error reporting differs by design: the C API returns false
-    and stashes a thread-local flag (rwkv_error_handling.inc:1-16); here
-    failures raise typed RWKV*Error exceptions, so the print-errors toggle
-    and last-error accessor exist for signature parity only."""
+    this package. Failures raise typed RWKV*Error exceptions (the idiomatic
+    Python form of the C API's return-false contract), AND the exception's
+    bit flags are stashed per context / globally so rwkv_get_last_error
+    behaves like the reference's read-and-clear accessor (rwkv.cpp:229-234):
+    code ported from error-flag-driven C usage keeps working."""
+
+    def _record(self, ctx, exc: RWKVError):
+        """Accumulate the exception's rwkv_error_flags bits like the C
+        library's thread-local accumulator (rwkv_error_handling.inc:1-16)."""
+        target = ctx if ctx is not None else self
+        target.__dict__["last_error"] = target.__dict__.get("last_error", 0) | exc.flags
+        if self.rwkv_get_print_errors(ctx):
+            print(f"rwkv_tpu: {exc}", file=sys.stderr)
 
     def rwkv_init_from_file(self, model_file_path: str, thread_count: int = 0,
                             gpu_layer_count: int = 0) -> RWKVContext:
         del thread_count, gpu_layer_count  # XLA threads; TPU is the device
-        return RWKVContext(Context(model_file_path))
+        try:
+            return RWKVContext(Context(model_file_path))
+        except RWKVError as e:
+            self._record(None, e)  # load failures have no context yet (global flag)
+            raise
 
     # --- error accessors (rwkv.h:76-84) ---
     def rwkv_set_print_errors(self, ctx, print_errors: bool) -> None:
@@ -132,7 +147,12 @@ class RWKVSharedLibrary:
         return (ctx if ctx is not None else self).__dict__.get("print_errors", True)
 
     def rwkv_get_last_error(self, ctx) -> int:
-        return 0  # failures raise typed exceptions instead of setting flags
+        """Read-and-clear, per context or global when ctx is None
+        (rwkv.cpp:229-234)."""
+        target = ctx if ctx is not None else self
+        flags = target.__dict__.get("last_error", 0)
+        target.__dict__["last_error"] = 0
+        return flags
 
     def rwkv_clone_context(self, ctx: RWKVContext, thread_count: int = 0) -> RWKVContext:
         del thread_count
@@ -143,6 +163,13 @@ class RWKVSharedLibrary:
         # "returns True if at least one layer was offloaded" contract
         return True
 
+    def _guarded(self, ctx, fn):
+        try:
+            return fn()
+        except RWKVError as e:
+            self._record(ctx, e)
+            raise
+
     def _eval_out(self, ctx, logits, state, state_out, logits_out):
         state_buf = np.asarray(ctx.ptr.state_to_buffer(state))
         if state_out is not None:
@@ -152,23 +179,29 @@ class RWKVSharedLibrary:
         return True
 
     def rwkv_eval(self, ctx: RWKVContext, token: int, state_in, state_out, logits_out) -> bool:
-        st = None if state_in is None else ctx.ptr.state_from_buffer(
-            np.asarray(state_in, dtype=np.float32))
-        logits, state = ctx.ptr.eval(int(token), st)
-        return self._eval_out(ctx, logits, state, state_out, logits_out)
+        def run():
+            st = None if state_in is None else ctx.ptr.state_from_buffer(
+                np.asarray(state_in, dtype=np.float32))
+            logits, state = ctx.ptr.eval(int(token), st)
+            return self._eval_out(ctx, logits, state, state_out, logits_out)
+        return self._guarded(ctx, run)
 
     def rwkv_eval_sequence(self, ctx: RWKVContext, tokens, state_in, state_out, logits_out) -> bool:
-        st = None if state_in is None else ctx.ptr.state_from_buffer(
-            np.asarray(state_in, dtype=np.float32))
-        logits, state = ctx.ptr.eval_sequence(list(tokens), st)
-        return self._eval_out(ctx, logits, state, state_out, logits_out)
+        def run():
+            st = None if state_in is None else ctx.ptr.state_from_buffer(
+                np.asarray(state_in, dtype=np.float32))
+            logits, state = ctx.ptr.eval_sequence(list(tokens), st)
+            return self._eval_out(ctx, logits, state, state_out, logits_out)
+        return self._guarded(ctx, run)
 
     def rwkv_eval_sequence_in_chunks(self, ctx: RWKVContext, tokens, chunk_size: int,
                                      state_in, state_out, logits_out) -> bool:
-        st = None if state_in is None else ctx.ptr.state_from_buffer(
-            np.asarray(state_in, dtype=np.float32))
-        logits, state = ctx.ptr.eval_sequence_in_chunks(list(tokens), chunk_size, st)
-        return self._eval_out(ctx, logits, state, state_out, logits_out)
+        def run():
+            st = None if state_in is None else ctx.ptr.state_from_buffer(
+                np.asarray(state_in, dtype=np.float32))
+            logits, state = ctx.ptr.eval_sequence_in_chunks(list(tokens), chunk_size, st)
+            return self._eval_out(ctx, logits, state, state_out, logits_out)
+        return self._guarded(ctx, run)
 
     def rwkv_get_n_vocab(self, ctx: RWKVContext) -> int:
         return ctx.ptr.n_vocab
@@ -194,8 +227,10 @@ class RWKVSharedLibrary:
     def rwkv_quantize_model_file(self, in_path: str, out_path: str, format_name: str) -> bool:
         from rwkv_tpu.formats.quantize import quantize_model_file
 
-        quantize_model_file(in_path, out_path, format_name)
-        return True
+        def run():
+            quantize_model_file(in_path, out_path, format_name)
+            return True
+        return self._guarded(None, run)
 
     def rwkv_get_system_info_string(self) -> str:
         from rwkv_tpu.runtime.context import system_info

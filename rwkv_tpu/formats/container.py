@@ -29,10 +29,20 @@ from rwkv_tpu.formats import quant
 from rwkv_tpu.runtime.errors import (
     RWKVDataTypeError,
     RWKVFileMagicError,
+    RWKVFileOpenError,
     RWKVFileReadError,
     RWKVFileVersionError,
     RWKVShapeError,
 )
+
+
+def _open_read(path: str):
+    """fopen gate: OS-level failures become the reference's FILE_OPEN error
+    flag (rwkv_model_loading.inc:289-297) instead of a bare OSError."""
+    try:
+        return open(path, "rb")
+    except OSError as e:
+        raise RWKVFileOpenError(f"{path}: failed to open file ({e})") from e
 
 FILE_MAGIC = 0x67676D66
 FILE_VERSION_0 = 100
@@ -143,7 +153,7 @@ def _validate_header(header: RWKVFileHeader, path: str) -> None:
 
 
 def read_model_header(path: str) -> RWKVFileHeader:
-    with open(path, "rb") as f:
+    with _open_read(path) as f:
         raw = f.read(24)
     if len(raw) != 24:
         raise RWKVFileReadError(f"{path}: truncated header")
@@ -189,7 +199,7 @@ def read_model_file(path: str):
     """
     header = read_model_header(path)
     tensors: dict[str, RWKVTensorRecord] = {}
-    with open(path, "rb") as f:
+    with _open_read(path) as f:
         f.seek(24)
         while True:
             rec = _read_tensor_record(f, path)
@@ -202,7 +212,7 @@ def read_model_file(path: str):
 def iter_tensor_records(path: str):
     """Stream (header, record) pairs without holding the whole file (quantizer path)."""
     header = read_model_header(path)
-    with open(path, "rb") as f:
+    with _open_read(path) as f:
         f.seek(24)
         while True:
             rec = _read_tensor_record(f, path)

@@ -8,6 +8,8 @@ Bit-exact with ggml_quantize_chunk (verified against the committed Q5 fixtures).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 
 from rwkv_tpu.formats import container, quant
@@ -71,6 +73,15 @@ def quantize_model_file(in_path: str, out_path: str, format_name: str, verbose: 
             ):
                 f32 = rec.to_float32()
                 target = _target_for(rec, format_name)
+                if target != format_name:
+                    # always loud: the file header still says `format_name`,
+                    # but this tensor's record carries `target` (the format is
+                    # per-tensor self-describing; see docs/FILE_FORMAT.md)
+                    print(
+                        f"rwkv_tpu quantize: {rec.name} rows ({rec.dims[0]}) not "
+                        f"divisible by 256; writing {target} instead of {format_name}",
+                        file=sys.stderr,
+                    )
                 data = quant.quantize(target, np.ascontiguousarray(f32))
                 rec = container.RWKVTensorRecord(
                     name=rec.name, dims=rec.dims, type_name=target, data=data

@@ -202,14 +202,18 @@ def matmul(x, lin: Linear):
         from rwkv_tpu.ops import qmm
 
         g = group_of(lin.fmt)
+        inn, out = lin.shape
+        use_kernel = (
+            jax.default_backend() == "tpu" and qmm.aligned_for_kernel(inn, out, g)
+        )
         if lin.layer is not None:
-            if jax.default_backend() == "tpu":
+            if use_kernel:
                 return qmm.qmm_stacked(x, lin.q, lin.d, lin.m, lin.layer, group=g)
             return qmm.qmm_reference(
                 x, _take_layer(lin.q, lin.layer), _take_layer(lin.d, lin.layer),
                 None if lin.m is None else _take_layer(lin.m, lin.layer), group=g,
             )
-        if jax.default_backend() == "tpu":
+        if use_kernel:
             return qmm.qmm(x, lin.q, lin.d, lin.m, group=g)
         return qmm.qmm_reference(x, lin.q, lin.d, lin.m, group=g)
     raise ValueError(f"unknown Linear kind {lin.kind}")

@@ -72,12 +72,30 @@ def _pick_tile(dim, want):
     return t
 
 
+def aligned_for_kernel(inn: int, out: int, group: int) -> bool:
+    """True when the (in, out) dims tile cleanly for the Pallas kernel:
+    out must fill 128-lane tiles and in must split into whole scale groups.
+    Callers (ops/linear.py) fall back to qmm_reference otherwise instead of
+    letting _pick_tile degrade to pathological 1-wide lane blocks."""
+    return out % 128 == 0 and inn % (8 * group) == 0
+
+
+def _check_aligned(inn, out, group):
+    if not aligned_for_kernel(inn, out, group):
+        raise ValueError(
+            f"qmm kernel needs out % 128 == 0 and in % {8 * group} == 0, got "
+            f"(in={inn}, out={out}); use qmm_reference (ops/linear.py does "
+            f"this automatically) or pad the operand"
+        )
+
+
 @functools.partial(jax.jit, static_argnames=("group", "out_dtype"))
 def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32):
     """x: (T, in) f32; q: (in, out) int8; d[, m]: (in//group, out) f32.
     Returns (T, out)."""
     t, inn = x.shape
     out = q.shape[1]
+    _check_aligned(inn, out, group)
     # decode (small T): stream full rows; prefill (large T): bound VMEM by
     # tiling the token-row dimension too
     TT = _pick_tile(t, 256) if t > 256 else t
@@ -150,6 +168,7 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
     than the matmuls themselves at decode batch sizes)."""
     t, inn = x.shape
     out = q.shape[2]
+    _check_aligned(inn, out, group)
     TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, 512)
     IT = _pick_tile(inn, 2048 if t <= 64 else 512)

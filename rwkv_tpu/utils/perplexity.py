@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rwkv_tpu.models import forward as fwd
+from rwkv_tpu.runtime.buckets import bucket_for
 
 
 @dataclass
@@ -46,7 +47,9 @@ def measure_perplexity(
     for start in range(0, n - 1, chunk_size):
         chunk = tokens[start : start + chunk_size]
         t = len(chunk)
-        pad = int(2 ** int(np.ceil(np.log2(max(t, 1))))) if t > 1 else 1
+        # same padding policy as Context.eval_sequence so chunks share the
+        # jit cache with the serving path (one keying scheme repo-wide)
+        pad = bucket_for(t)
         padded = np.zeros(pad, np.int32)
         padded[:t] = chunk
         logits, state = fwd.forward(

@@ -88,3 +88,23 @@ def test_shared_library_error_accessors():
     lib.rwkv_set_print_errors(ctx, False)
     assert lib.rwkv_get_print_errors(ctx) is False
     assert lib.rwkv_get_last_error(ctx) == 0
+
+    # a failing eval both raises the typed exception AND stashes the
+    # reference's bit flags on the context (read-and-clear, rwkv.cpp:229-234)
+    import pytest
+    from rwkv_tpu.runtime import errors as E
+
+    state = np.empty(lib.rwkv_get_state_len(ctx), np.float32)
+    logits = np.empty(lib.rwkv_get_logits_len(ctx), np.float32)
+    lib.rwkv_init_state(ctx, state)
+    with pytest.raises(E.RWKVArgsError):
+        lib.rwkv_eval(ctx, 10_000_000, state, state, logits)  # token out of range
+    assert lib.rwkv_get_last_error(ctx) == E.ERROR_ARGS
+    assert lib.rwkv_get_last_error(ctx) == 0  # cleared by the read
+
+    # load failures land on the global (library-level) flag
+    lib.rwkv_set_print_errors(None, False)
+    with pytest.raises(E.RWKVError):
+        lib.rwkv_init_from_file("/nonexistent/model.bin")
+    assert lib.rwkv_get_last_error(None) & E.ERROR_FILE
+    assert lib.rwkv_get_last_error(None) == 0

@@ -191,10 +191,14 @@ def test_quantization_perplexity_deltas(tmp_path):
         results[fmt] = ppl(out)
 
     # deltas vs FP32 are small and ordered by bit width (same shape as the
-    # reference's published table, README.md:25-31)
-    assert abs(results["Q8_0"] - base) < 0.15 * base, (base, results)
-    assert abs(results["Q5_1"] - base) < 0.30 * base, (base, results)
-    assert results["Q4_0"] >= results["Q8_0"] - 0.05 * base, results
+    # reference's published table, README.md:25-31). Bounds are ~2-2.5x the
+    # measured deltas on this model (Q8_0 +0.18%, Q5_1 +0.75%, Q4_0 +7.9%)
+    # so real codec regressions trip them while reduction-order noise doesn't.
+    assert abs(results["Q8_0"] - base) < 0.02 * base, (base, results)
+    assert abs(results["Q5_1"] - base) < 0.05 * base, (base, results)
+    assert abs(results["Q4_0"] - base) < 0.20 * base, (base, results)
+    assert results["Q4_0"] >= results["Q8_0"] - 0.01 * base, results
+    assert results["Q5_1"] >= results["Q8_0"] - 0.01 * base, results
 
 
 def test_generate_completions_cli():
