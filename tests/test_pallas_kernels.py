@@ -23,87 +23,74 @@ def _decayish(*shape):
     return jnp.asarray(np.exp(-np.exp(RNG.uniform(-2, 1, shape))).astype(np.float32))
 
 
-@pytest.mark.parametrize("T,H,S", [(1, 4, 64), (16, 4, 64), (24, 2, 64), (8, 1, 64)])
-def test_wkv7_matches_reference(T, H, S):
-    r, k, v = _rand(T, H, S), _rand(T, H, S), _rand(T, H, S)
-    w = _decayish(T, H, S)
-    kk = _rand(T, H, S)
-    kk = kk / jnp.maximum(jnp.linalg.norm(kk, axis=-1, keepdims=True), 1e-12)
-    a_gate = jax.nn.sigmoid(_rand(T, H, S))
-    a, b = -kk, kk * a_gate
-    state = _rand(H, S, S)
-    valid = jnp.ones(T, bool)
+@pytest.mark.parametrize("chunk,head_block", [(8, 2), (16, 4), (32, 2)])
+def test_wkv6_fused_chunk_batched(chunk, head_block):
+    """Fused chunk-parallel wkv6 kernel (sub-chunked clipped-pairwise decay)
+    vs the sequential batched scan, with ragged lengths and decays spanning
+    the full unbounded v6 range (w down to ~e^-20)."""
+    rng = np.random.default_rng(7)
+    B, T, H, S = 2, 96, 4, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32) for _ in range(3))
+    lw = -np.exp(rng.uniform(-2.0, 3.0, (B, T, H, S))).astype(np.float32)  # v6: lw = -exp(d)
+    lw = jnp.asarray(lw)
+    w = jnp.exp(lw)
+    tf = jnp.asarray(rng.uniform(0, 0.3, (H, S)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    valid = jnp.stack([jnp.arange(T) < 77, jnp.arange(T) < T])
 
-    out_ref, st_ref = ref.wkv7(r, w, k, v, a, b, state, valid)
+    out_ref, st_ref = ref.wkv56_batched(r, k, v, tf, w, s0, valid)
     with pltpu.force_tpu_interpret_mode():
-        out_pl, st_pl = pk.wkv7_masked(r, w, k, v, a, b, state, valid)
-    np.testing.assert_allclose(out_pl, out_ref, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(st_pl, st_ref, atol=1e-5, rtol=1e-5)
+        out_pl, st_pl = pk.wkv6_chunked_pallas_batched(
+            r, k, v, tf, lw, s0, valid, chunk=chunk, head_block=head_block
+        )
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.where(m, np.asarray(out_pl), 0.0), np.where(m, np.asarray(out_ref), 0.0),
+        atol=2e-4, rtol=2e-4,
+    )
+    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("T,H,S", [(1, 4, 64), (16, 4, 64), (12, 8, 64)])
-def test_wkv6_matches_reference(T, H, S):
-    r, k, v = _rand(T, H, S), _rand(T, H, S), _rand(T, H, S)
-    w = _decayish(T, H, S)
-    tf = _rand(H, S)
-    state = _rand(H, S, S)
-    valid = jnp.ones(T, bool)
+def test_wkv6_fused_chunk_v5_constant_decay():
+    """v5 mode: constant per-channel decay broadcast per token, T needing
+    padding up to the chunk size."""
+    rng = np.random.default_rng(8)
+    B, T, H, S = 2, 40, 2, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32) for _ in range(3))
+    wc = np.exp(-np.exp(rng.uniform(-2, 1, (H, S)))).astype(np.float32)
+    w = jnp.broadcast_to(jnp.asarray(wc), (B, T, H, S))
+    lw = jnp.broadcast_to(jnp.log(jnp.asarray(wc)), (B, T, H, S))
+    tf = jnp.asarray(np.exp(rng.uniform(-2, 0, (H, S))).astype(np.float32))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    valid = jnp.stack([jnp.arange(T) < 17, jnp.arange(T) < T])
 
-    out_ref, st_ref = ref.wkv56(r, k, v, tf, w, state, valid)
+    out_ref, st_ref = ref.wkv56_batched(r, k, v, tf, w, s0, valid)
     with pltpu.force_tpu_interpret_mode():
-        out_pl, st_pl = pk.wkv6_masked(r, k, v, tf, w, state, valid)
-    np.testing.assert_allclose(out_pl, out_ref, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(st_pl, st_ref, atol=1e-5, rtol=1e-5)
+        out_pl, st_pl = pk.wkv6_chunked_pallas_batched(r, k, v, tf, lw, s0, valid)
+    m = np.asarray(valid)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.where(m, np.asarray(out_pl), 0.0), np.where(m, np.asarray(out_ref), 0.0),
+        atol=2e-4, rtol=2e-4,
+    )
+    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("length", [1, 3, 7])
-def test_wkv7_padding_mask(length):
-    """Padded positions must leave the state exactly as it was at `length`."""
-    T, H, S = 8, 2, 64
-    r, k, v = _rand(T, H, S), _rand(T, H, S), _rand(T, H, S)
-    w = _decayish(T, H, S)
-    a, b = -_rand(T, H, S), _rand(T, H, S)
-    state = _rand(H, S, S)
-    valid = jnp.arange(T) < length
-
-    out_ref, st_ref = ref.wkv7(r, w, k, v, a, b, state, valid)
-    with pltpu.force_tpu_interpret_mode():
-        out_pl, st_pl = pk.wkv7_masked(r, w, k, v, a, b, state, valid)
-    np.testing.assert_allclose(st_pl, st_ref, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(out_pl[:length], out_ref[:length], atol=1e-5, rtol=1e-5)
-
-
-def test_wkv6_padding_mask():
-    T, H, S = 8, 2, 64
-    length = 5
-    r, k, v = _rand(T, H, S), _rand(T, H, S), _rand(T, H, S)
-    w = _decayish(T, H, S)
-    tf = _rand(H, S)
-    state = _rand(H, S, S)
-    valid = jnp.arange(T) < length
-
-    out_ref, st_ref = ref.wkv56(r, k, v, tf, w, state, valid)
-    with pltpu.force_tpu_interpret_mode():
-        out_pl, st_pl = pk.wkv6_masked(r, k, v, tf, w, state, valid)
-    np.testing.assert_allclose(st_pl, st_ref, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(out_pl[:length], out_ref[:length], atol=1e-5, rtol=1e-5)
-
-
-def test_wkv7_vmap_batch():
-    """vmap over a batch axis (the serving path) must match per-example."""
-    B, T, H, S = 3, 4, 2, 64
-    r, k, v = _rand(B, T, H, S), _rand(B, T, H, S), _rand(B, T, H, S)
-    w = _decayish(B, T, H, S)
-    a, b = -_rand(B, T, H, S), _rand(B, T, H, S)
-    state = _rand(B, H, S, S)
+def test_wkv6_fused_chunk_underflowed_decay():
+    """lw = -inf (fully underflowed w) must clamp, not produce nans."""
+    rng = np.random.default_rng(9)
+    B, T, H, S = 1, 32, 1, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32) for _ in range(3))
+    lw = jnp.full((B, T, H, S), -jnp.inf, jnp.float32)
+    tf = jnp.asarray(rng.uniform(0, 0.3, (H, S)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
     valid = jnp.ones((B, T), bool)
 
+    out_ref, st_ref = ref.wkv56_batched(r, k, v, tf, jnp.exp(lw), s0, valid)
     with pltpu.force_tpu_interpret_mode():
-        out_b, st_b = jax.vmap(pk.wkv7_masked)(r, w, k, v, a, b, state, valid)
-        for i in range(B):
-            out_i, st_i = pk.wkv7_masked(r[i], w[i], k[i], v[i], a[i], b[i], state[i], valid[i])
-            np.testing.assert_allclose(out_b[i], out_i, atol=1e-6)
-            np.testing.assert_allclose(st_b[i], st_i, atol=1e-6)
+        out_pl, st_pl = pk.wkv6_chunked_pallas_batched(r, k, v, tf, lw, s0, valid, chunk=32)
+    assert np.isfinite(np.asarray(out_pl)).all()
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=2e-4, rtol=2e-4)
 
 
 @pytest.mark.parametrize("chunk,head_block", [(32, 2), (64, 4)])
