@@ -196,6 +196,15 @@ def _att_v4(lp, x_ln, x_prev, st, valid, step=False):
         wkv, (aa, bb, pp) = wkv_ops.wkv4_step(
             k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"]
         )
+    elif k.shape[-2] >= 16:
+        # chunk-parallel prefill: the max-trick recurrence collapses into
+        # per-chunk cumsums (ops/wkv_chunked.py) — no sequential T loop
+        from rwkv_tpu.ops.wkv_chunked import wkv4_chunked, wkv4_chunked_batched
+
+        fn = wkv4_chunked_batched if k.ndim == 3 else wkv4_chunked
+        wkv, (aa, bb, pp) = fn(
+            k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid
+        )
     elif k.ndim == 3:
         wkv, (aa, bb, pp) = wkv_ops.wkv4_batched(
             k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"], valid

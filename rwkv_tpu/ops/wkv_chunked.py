@@ -240,6 +240,100 @@ def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
     return out, st.reshape(B, H, S, S)
 
 
+# ---------------------------------------------------------------------------
+# wkv4 chunked (scalar per-channel state with the log-space max trick,
+# reference rwkv_graph.inc:119-161). The recurrence keeps (aa, bb, pp) with
+# the invariant  true_a = aa * e^pp  (pp is the shared exponent). Unrolled
+# from a carry (aa0, bb0, pp0), after t in-chunk tokens:
+#
+#   a_t = e^{t*d + pp0} aa0 + sum_{s<=t} e^{(t-s)*d + k_s} v_s
+#       = e^{t*d + M_t} * A_t,   A_t = sum_{s<=t} e^{phi_s - M_t} v_s (+ carry)
+#   phi_s = k_s - s*d,  M_t = max(pp0, max_{s<=t} phi_s)   (RUNNING max)
+#
+# The running (prefix) max matters: a chunk-global max would underflow every
+# early-position prefix whenever the max lands late in the chunk (0/0 NaNs
+# in the output division) — exactly the failure the sequential max trick
+# avoids. The renormalized prefix sums obey the first-order linear recurrence
+#   A_t = A_{t-1} * e^{M_{t-1}-M_t} + e^{phi_t-M_t} v_t
+# whose coefficients are all <= 1 and computable upfront (cummax), so the
+# whole chunk evaluates with one jax.lax.associative_scan (log-depth, pure
+# VPU, vectorized over (B, E)) — no sequential T loop. The output at t adds
+# the time_first bonus with its own max (rho), exactly like the reference's
+# qq. The carry renormalizes per chunk: aa'=A_C, bb'=B_C, pp'=n_valid*d+M_C.
+# ---------------------------------------------------------------------------
+
+def _wkv4_chunk_step(carry, inp, u, d):
+    """carry: aa/bb/pp (..., E); inp: (kc, vc, validc) with kc/vc (..., C, E),
+    validc (..., C) a prefix mask."""
+    aa, bb, pp = carry
+    kc, vc, validc = inp
+    C = kc.shape[-2]
+    mask = validc[..., :, None]
+    t = jnp.arange(1, C + 1, dtype=jnp.float32)[:, None]          # (C, 1)
+    phi = jnp.where(mask, kc - t * d, -jnp.inf)                   # (..., C, E)
+    M = jnp.maximum(pp[..., None, :], jax.lax.cummax(phi, axis=phi.ndim - 2))
+    Mprev = jnp.concatenate([pp[..., None, :], M[..., :-1, :]], axis=-2)
+    alpha = jnp.exp(Mprev - M)                                    # <= 1
+    beta = jnp.exp(phi - M)                                       # <= 1; 0 at padding
+
+    def combine(x, y):
+        ax, Ax, Bx = x
+        ay, Ay, By = y
+        return (ax * ay, Ax * ay + Ay, Bx * ay + By)
+
+    P, Qa, Qb = jax.lax.associative_scan(
+        combine, (alpha, beta * vc, beta), axis=phi.ndim - 2
+    )
+    A = P * aa[..., None, :] + Qa                                 # (..., C, E)
+    B = P * bb[..., None, :] + Qb
+    Aprev = jnp.concatenate([aa[..., None, :], A[..., :-1, :]], axis=-2)
+    Bprev = jnp.concatenate([bb[..., None, :], B[..., :-1, :]], axis=-2)
+
+    td_prev = (t - 1.0) * d + Mprev                               # (..., C, E)
+    wk = u + kc
+    rho = jnp.maximum(td_prev, wk)
+    e1 = jnp.exp(td_prev - rho)
+    e2 = jnp.exp(wk - rho)
+    wkv = (e1 * Aprev + e2 * vc) / (e1 * Bprev + e2)
+
+    n_valid = jnp.sum(validc, axis=-1).astype(jnp.float32)        # (...,)
+    new = (A[..., -1, :], B[..., -1, :], n_valid[..., None] * d + M[..., -1, :])
+    return new, wkv
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv4_chunked_batched(k, v, u, d, aa, bb, pp, valid, chunk: int = 128):
+    """Chunk-parallel v4 wkv: k/v (B, T, E) f32; u = time_first, d =
+    time_decay (both (E,), decay already -exp() per the converter); aa/bb/pp
+    (B, E); valid (B, T) prefix masks. Returns (wkv (B, T, E), carry)."""
+    B, T, E = k.shape
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    if Tp != T:
+        padk = jnp.zeros((B, Tp - T, E), k.dtype)
+        k = jnp.concatenate([k, padk], axis=1)
+        v = jnp.concatenate([v, padk], axis=1)
+        valid = jnp.concatenate([valid, jnp.zeros((B, Tp - T), valid.dtype)], axis=1)
+    n = Tp // chunk
+    xs = (
+        jnp.moveaxis(k.reshape(B, n, chunk, E), 1, 0).astype(jnp.float32),
+        jnp.moveaxis(v.reshape(B, n, chunk, E), 1, 0).astype(jnp.float32),
+        jnp.moveaxis(valid.reshape(B, n, chunk), 1, 0),
+    )
+    step = functools.partial(_wkv4_chunk_step, u=u, d=d)
+    carry, out = jax.lax.scan(step, (aa, bb, pp), xs)
+    return jnp.moveaxis(out, 0, 1).reshape(B, Tp, E)[:, :T], carry
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def wkv4_chunked(k, v, u, d, aa, bb, pp, valid, chunk: int = 128):
+    """Single-stream form: k/v (T, E), aa/bb/pp (E,), valid (T,)."""
+    out, (aa, bb, pp) = wkv4_chunked_batched(
+        k[None], v[None], u, d, aa[None], bb[None], pp[None], valid[None],
+        chunk=chunk,
+    )
+    return out[0], (aa[0], bb[0], pp[0])
+
+
 def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
     """Padding-safe wrapper with the same signature as ops/wkv.py::wkv7.
     Pads T up to a chunk multiple internally."""

@@ -92,3 +92,70 @@ def test_chunked_full_model_v5_v6():
         l1, s1 = F.forward(prm, cfg, toks, st, jnp.int32(32), pallas=False)
         l2, s2 = F.forward(prm, cfg, toks, st, jnp.int32(32), pallas=True)
         np.testing.assert_allclose(l2, l1, atol=5e-3, rtol=1e-3)
+
+
+def test_wkv4_chunked_matches_scan():
+    """Chunk-parallel v4 (cumsum max-trick) vs the sequential scan, with
+    large-magnitude keys (the regime the max trick exists for), a non-fresh
+    carry, ragged batch lengths, and chunk-boundary continuation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rwkv_tpu.ops import wkv as ref
+    from rwkv_tpu.ops import wkv_chunked as wc
+
+    rng = np.random.default_rng(21)
+    B, T, E = 3, 100, 64
+    k = jnp.asarray(rng.standard_normal((B, T, E)) * 5.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, E)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal(E) * 0.5, jnp.float32)
+    d = jnp.asarray(-np.exp(rng.standard_normal(E) * 0.5), jnp.float32)
+    valid = jnp.stack([jnp.arange(T) < n for n in (100, 37, 1)])
+
+    # non-fresh carry: run the scan for a prefix first
+    aa0 = jnp.zeros((B, E)); bb0 = jnp.zeros((B, E)); pp0 = jnp.full((B, E), -1e30)
+    pre = jnp.asarray(rng.standard_normal((B, 7, E)) * 3.0, jnp.float32)
+    prev = jnp.asarray(rng.standard_normal((B, 7, E)), jnp.float32)
+    _, (aa, bb, pp) = ref.wkv4_batched(pre, prev, u, d, aa0, bb0, pp0,
+                                       jnp.ones((B, 7), bool))
+
+    out_ref, (ar, br, pr) = ref.wkv4_batched(k, v, u, d, aa, bb, pp, valid)
+    for chunk in (16, 64, 128):
+        out_c, (ac, bc, pc) = wc.wkv4_chunked_batched(k, v, u, d, aa, bb, pp, valid,
+                                                      chunk=chunk)
+        m = np.asarray(valid)[:, :, None]
+        np.testing.assert_allclose(
+            np.where(m, np.asarray(out_c), 0.0), np.where(m, np.asarray(out_ref), 0.0),
+            atol=1e-4, rtol=1e-4,
+        )
+        # carries agree in TRUE value: (aa, bb) * e^pp (pp normalization differs)
+        for (xc, xr) in ((ac, ar), (bc, br)):
+            tc = np.asarray(xc) * np.exp(np.asarray(pc) - np.asarray(pr))
+            np.testing.assert_allclose(tc, np.asarray(xr), atol=1e-4, rtol=1e-4)
+
+    # single-stream wrapper
+    out_s, _ = wc.wkv4_chunked(k[0], v[0], u, d, aa[0], bb[0], pp[0], valid[0])
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_ref[0]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_wkv4_chunked_fresh_state_pp():
+    """The -1e30 initial pp (reference rwkv_eval.inc:224-241) must flow
+    through the chunk max without overflow/nan."""
+    import jax.numpy as jnp
+    import numpy as np
+    from rwkv_tpu.ops import wkv as ref
+    from rwkv_tpu.ops import wkv_chunked as wc
+
+    rng = np.random.default_rng(22)
+    T, E = 32, 16
+    k = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal(E), jnp.float32)
+    d = jnp.asarray(-np.exp(rng.standard_normal(E)), jnp.float32)
+    aa = jnp.zeros(E); bb = jnp.zeros(E); pp = jnp.full((E,), -1e30)
+    valid = jnp.ones(T, bool)
+    out_ref, _ = ref.wkv4(k, v, u, d, aa, bb, pp, valid)
+    out_c, _ = wc.wkv4_chunked(k, v, u, d, aa, bb, pp, valid, chunk=16)
+    assert np.isfinite(np.asarray(out_c)).all()
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_ref),
+                               atol=1e-4, rtol=1e-4)
