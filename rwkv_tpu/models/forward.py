@@ -351,26 +351,10 @@ def _ffn_v7(lp, x_ln, x_prev):
 # full forward
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas"))
-def forward(
-    params,
-    cfg: ModelConfig,
-    tokens,
-    state,
-    length,
-    compute_logits: bool = True,
-    all_logits: bool = False,
-    pallas: bool | None = None,
-):
-    """Evaluate `tokens` (T,) int32 against `state`; positions >= length are
-    padding. Returns (logits (V,) f32 or None, new_state).
-
-    compute_logits=False skips the head matmul entirely (the reference's
-    pre/post-logits graph truncation, rwkv_eval.inc:25-35).
-    all_logits=True returns logits for every position, (T, V) — needed for
-    perplexity measurement and training, beyond the reference's
-    last-token-only sequential head (rwkv_graph.inc:851-854).
-    """
+def _stack_single(params, cfg: ModelConfig, tokens, state, length, pallas):
+    """The layer stack for one single-stream evaluation: tokens (T,) int32,
+    positions >= length are padding. Returns (x (T, E) final-layer
+    activations, new_state). Shared by forward() and forward_chunks()."""
     T = tokens.shape[0]
     valid = jnp.arange(T) < length
     major = cfg.version_major
@@ -422,6 +406,30 @@ def forward(
         (x, v_first0),
         (params["layers"], state, jnp.arange(cfg.n_layer)),
     )
+    return x, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas"))
+def forward(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    state,
+    length,
+    compute_logits: bool = True,
+    all_logits: bool = False,
+    pallas: bool | None = None,
+):
+    """Evaluate `tokens` (T,) int32 against `state`; positions >= length are
+    padding. Returns (logits (V,) f32 or None, new_state).
+
+    compute_logits=False skips the head matmul entirely (the reference's
+    pre/post-logits graph truncation, rwkv_eval.inc:25-35).
+    all_logits=True returns logits for every position, (T, V) — needed for
+    perplexity measurement and training, beyond the reference's
+    last-token-only sequential head (rwkv_graph.inc:851-854).
+    """
+    x, new_state = _stack_single(params, cfg, tokens, state, length, pallas)
 
     if not compute_logits:
         return None, new_state
@@ -434,6 +442,54 @@ def forward(
     x_last = layer_norm(x_last, params["ln_out_w"], params["ln_out_b"])
     logits = matmul(x_last, params["head"])[0]
     return logits, new_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "pallas"))
+def forward_chunks(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    state,
+    length,
+    compute_logits: bool = True,
+    pallas: bool | None = None,
+):
+    """Single-jit chunked prefill: tokens (NC, C) int32 — a long prompt cut
+    into NC device-scanned chunks of C — with `length` the number of valid
+    tokens from the start of this block (clipped per chunk, may exceed NC*C
+    when more blocks follow). Returns (logits (V,) | None, new_state).
+
+    Replaces the reference's host loop over rwkv_eval_sequence calls
+    (rwkv_eval_sequence_in_chunks, rwkv_eval.inc:158-221) with ONE dispatch:
+    at T=8k and chunk 16 the host loop costs ~500 dispatches; here the scan
+    over chunk blocks runs entirely on device. Logits come from the last
+    valid token's final-layer activation, carried across the scan."""
+    NC, C = tokens.shape
+    E = cfg.n_embed
+
+    def chunk_body(carry, inp):
+        state, x_last = carry
+        toks_c, start = inp
+        ln = jnp.clip(length - start, 0, C)
+        active = ln > 0
+        # ln=0 chunks still execute (static shapes) but their state and
+        # x_last are discarded below; ln_safe keeps the token-shift gather
+        # in-bounds
+        ln_safe = jnp.maximum(ln, 1)
+        x, new_state = _stack_single(params, cfg, toks_c, state, ln_safe, pallas)
+        state = jax.tree.map(lambda n, o: jnp.where(active, n, o), new_state, state)
+        xl = jax.lax.dynamic_index_in_dim(x, ln_safe - 1, axis=0, keepdims=False)
+        x_last = jnp.where(active, xl, x_last)
+        return (state, x_last), None
+
+    starts = jnp.arange(NC, dtype=jnp.int32) * C
+    (state, x_last), _ = jax.lax.scan(
+        chunk_body, (state, jnp.zeros((E,), jnp.float32)), (tokens, starts)
+    )
+    if not compute_logits:
+        return None, state
+    x_last = layer_norm(x_last[None], params["ln_out_w"], params["ln_out_b"])
+    return matmul(x_last, params["head"])[0], state
 
 
 @partial(jax.jit, static_argnames=("cfg", "compute_logits", "layer_major"))

@@ -157,20 +157,38 @@ class Context:
         self, tokens, chunk_size: int = 16, state=None, compute_logits: bool = True
     ):
         """Chunked prefill (rwkv_eval_sequence_in_chunks, rwkv_eval.inc:158-221):
-        logits computed only for the final chunk."""
+        logits computed only for the final chunk.
+
+        TPU-native upgrade over the reference's host loop: chunks are scanned
+        ON DEVICE (forward_chunks), in power-of-two blocks of chunks so the
+        jit cache stays small (one program per block size) with zero padded
+        chunks — a T=8k prompt at chunk 16 is <= 9 dispatches instead of 500."""
         toks = self._check_tokens(tokens)
         if chunk_size <= 0:
             raise RWKVArgsError("Chunk size is 0")
         if state is None:
             state = self.init_state()
         n = len(toks)
+        n_chunks = (n + chunk_size - 1) // chunk_size
+        padded = np.zeros(n_chunks * chunk_size, dtype=np.int32)
+        padded[:n] = toks
+
         logits = None
-        for start in range(0, n, chunk_size):
-            chunk = toks[start : start + chunk_size]
-            is_last = start + chunk_size >= n
-            logits, state = self.eval_sequence(
-                chunk, state, compute_logits=compute_logits and is_last
+        off = 0  # in chunks
+        while off < n_chunks:
+            # largest power-of-two block that still fits
+            block = 1 << ((n_chunks - off).bit_length() - 1)
+            block_toks = padded[off * chunk_size : (off + block) * chunk_size]
+            is_last = off + block >= n_chunks
+            logits, state = fwd.forward_chunks(
+                self._params,
+                self.cfg,
+                jnp.asarray(block_toks.reshape(block, chunk_size)),
+                state,
+                jnp.int32(n - off * chunk_size),
+                compute_logits=compute_logits and is_last,
             )
+            off += block
         return logits, state
 
 

@@ -65,7 +65,11 @@ def test_chunked_single_token(ctx):
     logits_serial, state_serial = ctx.eval(ord("T"))
     logits_chunk, state_chunk = ctx.eval_sequence_in_chunks([ord("T")], 8)
     _state_allclose(state_serial, state_chunk)
-    np.testing.assert_allclose(np.asarray(logits_serial), np.asarray(logits_chunk))
+    # tight tolerance, not memcmp: the device-scanned chunk path evaluates in
+    # a C-wide padded block, so XLA reduction shapes differ from serial eval
+    np.testing.assert_allclose(
+        np.asarray(logits_serial), np.asarray(logits_chunk), atol=2e-5, rtol=1e-5
+    )
 
 
 def test_logit_skipping_same_state(ctx):
