@@ -22,6 +22,26 @@ import time
 import numpy as np
 
 
+HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth
+
+
+def _step_traffic_bytes(params, cfg, batch):
+    """HBM bytes one decode step must move: every weight once (decode is
+    weight-streaming-bound) + recurrent state read+write."""
+    import jax
+    import numpy as np
+
+    weight_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+        if hasattr(x, "size") and x.size > 1 << 16
+    )
+    if cfg.version_major >= 5:
+        state_elems = cfg.n_layer * (2 * cfg.n_embed + cfg.head_count * cfg.head_size ** 2)
+    else:
+        state_elems = cfg.n_layer * 5 * cfg.n_embed
+    return weight_bytes + 2 * batch * state_elems * 4
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -59,7 +79,10 @@ def main():
         _ = jax.device_get(toks)
         dt = (time.time() - t0) / reps
         tps = B * steps / dt
-        print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step)", file=sys.stderr)
+        gbs = _step_traffic_bytes(p, cfg, B) / (dt / steps) / 1e9
+        print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step; "
+              f"{gbs:.0f} GB/s achieved = {100*gbs/HBM_PEAK_GBS:.0f}% of "
+              f"{HBM_PEAK_GBS:.0f} GB/s HBM peak)", file=sys.stderr)
         return tps
 
     bf16_tps = measure(params, "decode bf16 dense")

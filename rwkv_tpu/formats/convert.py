@@ -137,3 +137,29 @@ def _to_numpy(v) -> np.ndarray:
     if isinstance(v, np.ndarray):
         return v.astype(np.float32)
     return v.detach().to("cpu").float().numpy()
+
+
+def rewrite_precision(src_path: str, dest_path: str, data_type: str) -> None:
+    """Rewrite an FP32/FP16 .bin model at a different float precision
+    (FP32 <-> FP16), preserving the converter's keep-FP32 policy for 1-D and
+    listed small tensors (reference convert_pytorch_to_ggml.py:126-135).
+    Used by the ppl sweep to produce the FP16 row from an FP32 source."""
+    if data_type not in ("FP16", "FP32"):
+        raise ValueError(f"rewrite_precision targets FP16/FP32, got {data_type}")
+    header = container.read_model_header(src_path)
+    if header.data_type_name not in ("FP16", "FP32"):
+        raise ValueError("rewrite_precision needs an FP16/FP32 source model")
+    out_header = container.RWKVFileHeader(
+        magic=header.magic,
+        version=header.version,
+        n_vocab=header.n_vocab,
+        n_embed=header.n_embed,
+        n_layer=header.n_layer,
+        data_type=container.TYPE_INDEX[data_type],
+    )
+    with open(dest_path, "wb") as f:
+        f.write(out_header.pack())
+        for _, rec in container.iter_tensor_records(src_path):
+            x = rec.to_float32()
+            ty = "FP32" if (data_type == "FP32" or keep_fp32(rec.name, x)) else "FP16"
+            container.write_tensor_record(f, container.make_record(rec.name, x, ty))

@@ -37,8 +37,9 @@ BLOCK_NBYTES = {
 }
 
 KQUANT_FORMATS = tuple(BLOCK_NBYTES.keys())
-# formats that can be encoded (Q8_K is an activation-only ggml type;
-# ggml_quantize_chunk rejects it as a target)
+# formats valid as FILE quantization targets (Q8_K is an activation-only
+# ggml type; ggml_quantize_chunk rejects it as a target, so files never
+# contain it — but the codec below encodes AND decodes it for completeness)
 ENCODABLE = ("Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K")
 
 GROUP_MAX_EPS = 1e-15
@@ -580,12 +581,35 @@ def dequantize_q3_k(raw) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Q8_K (activation/intermediate format; decode-only — ggml never writes it
-# to model files, but the rwkv_type table accepts it)
+# Q8_K (activation/intermediate format in ggml — never written to model
+# files by ggml_quantize_chunk, but the rwkv_type table accepts it, so both
+# directions are implemented here for completeness)
 # ---------------------------------------------------------------------------
 
 def dequantize_q8_k(raw) -> np.ndarray:
     return _dequant_via_codes("Q8_K", raw)
+
+
+def quantize_q8_k(x: np.ndarray) -> bytes:
+    """ggml quantize_row_q8_K_ref: per 256-super-block, iscale = -128/signed
+    absmax value, q = min(nearest_int(iscale*x), 127), d = 1/iscale, plus
+    per-16 block sums of the codes."""
+    X = _superblocks(x)                                   # (nsb, 256) f32
+    nsb = X.shape[0]
+    amax_idx = np.argmax(np.abs(X), axis=1)
+    maxv = X[np.arange(nsb), amax_idx]                    # signed value at absmax
+    nonzero = np.abs(maxv) > 0
+    iscale = np.where(nonzero, -128.0 / np.where(nonzero, maxv, 1.0), 0.0)
+    q = np.minimum(_nearest_int(iscale[:, None] * X), 127).astype(np.int8)
+    q = np.where(nonzero[:, None], q, 0).astype(np.int8)
+    d = np.where(nonzero, 1.0 / np.where(iscale != 0, iscale, 1.0), 0.0).astype(np.float32)
+    bsums = q.reshape(nsb, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+
+    out = np.zeros((nsb, BLOCK_NBYTES["Q8_K"]), np.uint8)
+    out[:, 0:4] = d[:, None].view(np.uint8).reshape(nsb, 4)
+    out[:, 4:260] = q.view(np.uint8)
+    out[:, 260:292] = bsums.view(np.uint8).reshape(nsb, 32)
+    return out.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -607,6 +631,7 @@ _QUANT = {
     "Q4_K": quantize_q4_k,
     "Q5_K": quantize_q5_k,
     "Q6_K": quantize_q6_k,
+    "Q8_K": quantize_q8_k,
 }
 
 

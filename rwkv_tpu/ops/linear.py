@@ -300,12 +300,18 @@ def quantize_dense_w8a8_device(lin: Linear) -> Linear:
 
 
 def quantize_params_device(params, keys=None, mode: str = "block",
-                           consume: bool = False) -> dict:
+                           consume: bool = False, head: bool = True) -> dict:
     """Quantize a param pytree's projection Linears to int8 on device.
 
-    Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
-    emb/head and the small low-rank tensors stay dense; the big per-layer
-    projections are quantized. `keys` overrides the layer-Linear selection.
+    Extends the reference's quantization policy (rwkv_quantize.inc:1-13):
+    emb and the small low-rank tensors stay dense; the big per-layer
+    projections are quantized; and — beyond the reference — the HEAD matmul
+    is quantized too when head=True (the default). The reference keeps the
+    head in f16/f32 in its file format, but for TPU serving the head is pure
+    HBM traffic (E x V, ~15% of a decode step at 1.5B) and int8 block codes
+    hold logit correlation > 0.999 on the trained tiny models
+    (tests/test_serving_quant). Pass head=False for strict reference policy.
+    `keys` overrides the layer-Linear selection.
     mode: 'block' (per-32-block scales, fused dequant kernels) or 'w8a8'
     (per-channel scales, native int8 MXU matmuls).
     consume=True frees each dense HBM buffer as it is converted — required
@@ -317,6 +323,14 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         "block": quantize_dense_device,
         "w8a8": quantize_dense_w8a8_device,
     }[mode]
+
+    def convert(lin):
+        q = quantize_one(lin)
+        if consume and q is not lin and lin.kind == "dense" and hasattr(lin.w, "delete"):
+            jax.block_until_ready(jax.tree.leaves(q))
+            lin.w.delete()
+        return q
+
     out = dict(params)
     layers = dict(params["layers"])
     if keys is None:
@@ -326,13 +340,15 @@ def quantize_params_device(params, keys=None, mode: str = "block",
             ("att_k", "att_v", "att_r", "att_o", "att_gate", "ffn_k", "ffn_v", "ffn_r")
         ]
     for k in keys:
-        lin = layers[k]
-        q = quantize_one(lin)
-        if consume and q is not lin and lin.kind == "dense" and hasattr(lin.w, "delete"):
-            jax.block_until_ready(jax.tree.leaves(q))
-            lin.w.delete()
-        layers[k] = q
+        layers[k] = convert(layers[k])
     out["layers"] = layers
+    if head and isinstance(params.get("head"), Linear):
+        from rwkv_tpu.ops import qmm
+
+        hd = params["head"]
+        inn, o = hd.shape
+        if mode != "block" or qmm.aligned_for_kernel(inn, o, QK):
+            out["head"] = convert(hd)
     return out
 
 

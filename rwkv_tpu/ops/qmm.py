@@ -89,18 +89,18 @@ def _check_aligned(inn, out, group):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("group", "out_dtype"))
-def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32, tiles=None):
     """x: (T, in) f32; q: (in, out) int8; d[, m]: (in//group, out) f32.
-    Returns (T, out)."""
+    Returns (T, out). tiles=(OT, IT) overrides the tile heuristic."""
     t, inn = x.shape
     out = q.shape[1]
     _check_aligned(inn, out, group)
     # decode (small T): stream full rows; prefill (large T): bound VMEM by
     # tiling the token-row dimension too
     TT = _pick_tile(t, 256) if t > 256 else t
-    OT = _pick_tile(out, 512)
-    IT = _pick_tile(inn, 2048 if t <= 64 else 512)
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 64 else 512)))
     if IT % group:
         raise ValueError(f"in_tile {IT} not a multiple of {group}")
 
@@ -156,8 +156,8 @@ def _qmm_stacked_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "out_dtype"))
-def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32, tiles=None):
     """Layer-stacked fused dequant-matmul: q (L, in, out) int8, d/m
     (L, in//group, out) f32, layer a traced scalar index.
 
@@ -170,8 +170,8 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32):
     out = q.shape[2]
     _check_aligned(inn, out, group)
     TT = _pick_tile(t, 256) if t > 256 else t
-    OT = _pick_tile(out, 512)
-    IT = _pick_tile(inn, 2048 if t <= 64 else 512)
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 64 else 512)))
 
     with_min = m is not None
     if with_min:

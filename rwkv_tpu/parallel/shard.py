@@ -85,22 +85,30 @@ def param_specs(cfg: ModelConfig, params) -> dict:
     return specs
 
 
-def state_specs(cfg: ModelConfig, batched: bool) -> dict:
-    """State pytree specs: dp over the stream batch, tp over heads."""
-    lead = ("dp",) if batched else ()
+def state_specs(cfg: ModelConfig, batched: bool, layer_major: bool = False) -> dict:
+    """State pytree specs: dp over the stream batch, tp over heads.
+    layer_major=True is the serving layout (L, B, ...) (runtime/serve.py);
+    otherwise batched state is (B, L, ...)."""
+    if not batched:
+        lead = ()
+    elif layer_major:
+        lead = (None, "dp")
+    else:
+        lead = ("dp", None)
     # token-shift carries feed column-parallel matmuls, so they stay
     # replicated over tp; the per-channel (v4) / per-head (v5+) wkv state is
     # the big tensor and shards cleanly
+    lead = lead if batched else (None,)  # unbatched: (L, ...) leading layer dim
     base = {
-        "ffn_xx": P(*lead, None, None),
-        "att_xx": P(*lead, None, None),
+        "ffn_xx": P(*lead, None),
+        "att_xx": P(*lead, None),
     }
     if cfg.version_major == 4:
         base.update(
-            aa=P(*lead, None, "tp"), bb=P(*lead, None, "tp"), pp=P(*lead, None, "tp")
+            aa=P(*lead, "tp"), bb=P(*lead, "tp"), pp=P(*lead, "tp")
         )
     else:
-        base["heads"] = P(*lead, None, "tp", None, None)
+        base["heads"] = P(*lead, "tp", None, None)
     return base
 
 
@@ -112,6 +120,7 @@ def shard_params(mesh: Mesh, cfg: ModelConfig, params):
     )
 
 
-def shard_state(mesh: Mesh, cfg: ModelConfig, state, batched: bool = True):
-    specs = state_specs(cfg, batched)
+def shard_state(mesh: Mesh, cfg: ModelConfig, state, batched: bool = True,
+                layer_major: bool = False):
+    specs = state_specs(cfg, batched, layer_major)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in state.items()}

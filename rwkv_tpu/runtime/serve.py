@@ -8,14 +8,23 @@ leave (EOS / budget) without stopping the others. Per-stream recurrent state
 is one row of the batched state pytree — O(1) memory per stream, RWKV's
 whole point.
 
-Sampling runs host-side per stream (temperature / top-p / logit bias per
-request, utils/sampling.py); greedy streams can instead ride the fully
-on-device decode loop (runtime/generate.py).
+Sampling runs ON DEVICE by default (`on_device=True`): per-slot temperature /
+top-p / presence+frequency penalties / logit bias are vectorized into one
+jitted step (`serve_step`), so the host only receives the sampled token ids —
+no per-stream numpy sampling in the hot path (at B=128 the host loop would
+dominate). `on_device=False` falls back to host-side utils/sampling.py
+per stream (bit-compatible with the reference's sampling.py).
+
+Sharded serving: pass a Mesh (parallel/mesh.make_mesh) — weights are
+TP-sharded over heads, the slot batch is DP-sharded, and the jitted step runs
+under GSPMD with XLA-inserted collectives. Per-stream results equal the
+single-device server (tests/test_serve.py, dryrun_multichip).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
@@ -52,25 +61,86 @@ class _Stream:
     token_counts: dict = field(default_factory=dict)
 
 
+@partial(jax.jit, static_argnames=("cfg", "top_k"))
+def serve_step(params, cfg, last_tok, state, counts, active,
+               temps, top_ps, presence, freq, bias, key, top_k: int = 512):
+    """One lockstep decode+sample step for every slot, entirely on device.
+
+    last_tok (B,) int32; state layer-major (L, B, ...); counts (B, V) int32
+    per-slot generated-token counts; active (B,) bool; temps/top_ps/presence/
+    freq (B,) f32 per-slot sampling configs; bias (B, V) f32 logit bias.
+    Returns (tok (B,), new_state, new_counts). Inactive slots keep their
+    state and counts frozen and emit a dummy token."""
+    logits, new_state = fwd.forward_step(params, cfg, last_tok, state,
+                                         layer_major=True)
+    logits = logits + bias
+    # presence/frequency penalties from the on-device counts
+    logits = logits - presence[:, None] * (counts > 0) - freq[:, None] * counts
+
+    vals, idx = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))  # sorted desc
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_ps[:, None]          # nucleus, inclusive
+    logp = jnp.where(keep, vals, -jnp.inf) / jnp.maximum(temps[:, None], 1e-6)
+    choice = jax.random.categorical(key, logp, axis=-1)              # (B,)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+    greedy = idx[:, 0]                               # argmax incl. bias/penalty
+    tok = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+    B = last_tok.shape[0]
+    counts = counts.at[jnp.arange(B), tok].add(active.astype(jnp.int32))
+    state = jax.tree.map(
+        lambda n, o: jnp.where(active.reshape((1, B) + (1,) * (n.ndim - 2)), n, o),
+        new_state, state,
+    )
+    return tok, state, counts
+
+
 class Server:
     """Slot-based continuous batching over one model."""
 
-    def __init__(self, ctx, max_streams: int = 8, seed: int = 0):
+    def __init__(self, ctx, max_streams: int = 8, seed: int = 0,
+                 on_device: bool = True, mesh=None):
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.B = max_streams
+        self.on_device = on_device
+        self.mesh = mesh
+        self._params = ctx._params
+        if mesh is not None:
+            from rwkv_tpu.parallel import shard as SH
+
+            if max_streams % mesh.shape.get("dp", 1):
+                raise RWKVArgsError(
+                    f"max_streams ({max_streams}) must be divisible by the "
+                    f"dp mesh axis ({mesh.shape.get('dp', 1)})"
+                )
+            self._params = SH.shard_params(mesh, self.cfg, ctx._params)
         # state kept layer-major (L, B, ...) — forward_step consumes that
         # layout directly, avoiding two full-state transposes per decode step
         self._state = jax.tree.map(
             lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], self.B) + x.shape[1:]).copy(),
             fwd.init_state(self.cfg),
         )
+        self._counts = jnp.zeros((self.B, self.cfg.n_vocab), jnp.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rwkv_tpu.parallel import shard as SH
+
+            self._state = SH.shard_state(mesh, self.cfg, self._state,
+                                         batched=True, layer_major=True)
+            self._counts = jax.device_put(
+                self._counts, NamedSharding(mesh, P("dp", None)))
         self._last_tok = np.zeros(self.B, np.int32)
         self._free = list(range(max_streams))
         self._streams: Dict[int, _Stream] = {}
         self._by_slot: Dict[int, _Stream] = {}
         self._next_sid = 0
         self._rng = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._step_no = 0
+        self._cfg_arrays = None  # rebuilt lazily on stream join/leave
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -91,17 +161,20 @@ class Server:
         padded = np.zeros(bucket, np.int32)
         padded[:t] = toks
         logits, slot_state = fwd.forward(
-            self.ctx._params, self.cfg, jnp.asarray(padded), slot_state, jnp.int32(t)
+            self._params, self.cfg, jnp.asarray(padded), slot_state, jnp.int32(t)
         )
         self._state = jax.tree.map(
             lambda b, s: b.at[:, slot].set(s), self._state, slot_state
         )
+        self._counts = self._counts.at[slot].set(0)
         sid = self._next_sid
         self._next_sid += 1
         stream = _Stream(sid=sid, slot=slot, config=config)
         self._streams[sid] = stream
         self._by_slot[slot] = stream
-        # sample the first generated token from the prefill logits
+        self._cfg_arrays = None
+        # sample the first generated token from the prefill logits (host-side:
+        # this is once per join, not per step)
         self._emit(stream, np.asarray(logits))
         return sid
 
@@ -112,6 +185,10 @@ class Server:
             for t, n in stream.token_counts.items():
                 logits[t] -= c.presence_penalty + n * c.frequency_penalty
         tok = sample_logits(logits, c.temperature, c.top_p, c.logit_bias, rng=self._rng)
+        self._record(stream, tok)
+
+    def _record(self, stream: _Stream, tok: int):
+        c = stream.config
         stream.token_counts[tok] = stream.token_counts.get(tok, 0) + 1
         stream.generated.append(tok)
         self._last_tok[stream.slot] = tok
@@ -124,16 +201,65 @@ class Server:
         stream.done = True
         self._free.append(stream.slot)
         del self._by_slot[stream.slot]
+        self._cfg_arrays = None
 
     # -- decode -------------------------------------------------------------
+
+    def _slot_config_arrays(self):
+        """(active, temps, top_ps, presence, freq, bias) dense per-slot
+        arrays; rebuilt only when streams join/leave."""
+        if self._cfg_arrays is not None:
+            return self._cfg_arrays
+        B, V = self.B, self.cfg.n_vocab
+        active = np.zeros(B, bool)
+        temps = np.ones(B, np.float32)
+        top_ps = np.ones(B, np.float32)
+        presence = np.zeros(B, np.float32)
+        freq = np.zeros(B, np.float32)
+        bias = np.zeros((B, V), np.float32)
+        for s in self._by_slot.values():
+            c = s.config
+            active[s.slot] = True
+            temps[s.slot] = c.temperature
+            top_ps[s.slot] = c.top_p if c.top_p > 0 else 1.0
+            presence[s.slot] = c.presence_penalty
+            freq[s.slot] = c.frequency_penalty
+            if c.logit_bias:
+                for t, b in c.logit_bias.items():
+                    bias[s.slot, t] = b
+        self._cfg_arrays = tuple(jnp.asarray(a) for a in
+                                 (active, temps, top_ps, presence, freq, bias))
+        return self._cfg_arrays
 
     def step(self) -> Dict[int, int]:
         """One lockstep decode step for every active stream. Returns the
         tokens emitted this step keyed by stream id."""
         if not self._by_slot:
             return {}
+        if self.on_device:
+            return self._step_device()
+        return self._step_host()
+
+    def _step_device(self):
+        active, temps, top_ps, presence, freq, bias = self._slot_config_arrays()
+        key = jax.random.fold_in(self._key, self._step_no)
+        self._step_no += 1
+        tok, self._state, self._counts = serve_step(
+            self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
+            self._counts, active, temps, top_ps, presence, freq, bias, key,
+        )
+        tok_np = np.asarray(tok)
+        out = {}
+        for stream in list(self._by_slot.values()):
+            before_done = stream.done
+            self._record(stream, int(tok_np[stream.slot]))
+            if not before_done:
+                out[stream.sid] = stream.generated[-1]
+        return out
+
+    def _step_host(self):
         logits, new_state = fwd.forward_step(
-            self.ctx._params, self.cfg, jnp.asarray(self._last_tok), self._state,
+            self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
             layer_major=True,
         )
         # only active slots advance their state (B is axis 1, layer-major)

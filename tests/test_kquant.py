@@ -200,3 +200,30 @@ def test_e2e_fallback_rows_not_divisible(tmp_path):
 
     logits, _ = Context(out_path).eval_sequence(PROMPT)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_q8_k_roundtrip():
+    """Q8_K encoder (ggml quantize_row_q8_K_ref semantics) round-trips
+    through the existing decoder within 8-bit quantization error."""
+    import numpy as np
+    from rwkv_tpu.formats import kquant as K
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(4 * 256) * 3).astype(np.float32)
+    raw = K.quantize_q8_k(x)
+    assert len(raw) == 4 * K.BLOCK_NBYTES["Q8_K"]
+    y = K.dequantize_q8_k(raw).reshape(-1)
+    err = np.abs(y - x)
+    scale = np.abs(x).reshape(4, 256).max(axis=1) / 128
+    assert (err.reshape(4, 256) <= scale[:, None] * 0.51 + 1e-7).all()
+
+    # bsums match the codes
+    blk = np.frombuffer(raw, np.uint8).reshape(4, -1)
+    q = blk[:, 4:260].copy().view(np.int8)
+    bsums = blk[:, 260:292].copy().view(np.int16)
+    np.testing.assert_array_equal(
+        bsums, q.reshape(4, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16))
+
+    # all-zero superblock encodes d=0, q=0
+    z = K.quantize_q8_k(np.zeros(256, np.float32))
+    assert np.frombuffer(z, np.uint8)[:260].sum() == 0

@@ -153,3 +153,97 @@ def test_chunked_batched_matches_scan():
         atol=2e-4, rtol=2e-4,
     )
     np.testing.assert_allclose(np.asarray(st6), np.asarray(st6_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_wkv7_step_kernel():
+    """Fused single-token decode-step kernel vs the jnp step."""
+    rng = np.random.default_rng(13)
+    B, H, S = 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    out_ref, st_ref = ref.wkv7_step(r, w, k, v, a, b, s0)
+    with pltpu.force_tpu_interpret_mode():
+        out_pl, st_pl = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# real-TPU (Mosaic-compiled) validation — RWKV_TPU_TESTS=1 mode only.
+# Interpret mode above proves the math; these prove the LOWERING: compiled
+# kernels on the chip vs the jnp scans, with tolerances sized for the
+# one-pass bf16 MXU value dots (see docs/KERNELS.md "precision").
+# ---------------------------------------------------------------------------
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs the real TPU (RWKV_TPU_TESTS=1)"
+)
+
+
+@tpu_only
+def test_wkv6_fused_compiled_on_tpu():
+    rng = np.random.default_rng(7)
+    B, T, H, S = 2, 128, 4, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32) for _ in range(3))
+    lw = jnp.asarray(-np.exp(rng.uniform(-2.0, 3.0, (B, T, H, S))).astype(np.float32))
+    tf = jnp.asarray(rng.uniform(0, 0.3, (H, S)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    valid = jnp.stack([jnp.arange(T) < 77, jnp.arange(T) < T])
+    out_pl, st_pl = jax.device_get(pk.wkv6_chunked_pallas_batched(r, k, v, tf, lw, s0, valid))
+    out_ref, st_ref = jax.device_get(ref.wkv56_batched(r, k, v, tf, jnp.exp(lw), s0, valid))
+    m = np.asarray(valid)[:, :, None, None]
+    assert np.max(np.abs(np.where(m, out_pl - out_ref, 0))) < 5e-2
+    assert np.max(np.abs(st_pl - st_ref)) < 1e-2
+
+
+@tpu_only
+def test_wkv7_fused_compiled_on_tpu():
+    rng = np.random.default_rng(11)
+    B, T, H, S = 2, 128, 4, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32) for _ in range(3))
+    a = jnp.asarray(rng.uniform(-1, 1, (B, T, H, S)), jnp.float32)
+    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    b = a * jnp.asarray(rng.uniform(0, 1, (B, T, H, 1)), jnp.float32)
+    lw = -0.606531 * jax.nn.sigmoid(jnp.asarray(rng.standard_normal((B, T, H, S)), jnp.float32))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    valid = jnp.ones((B, T), bool)
+    out_pl, st_pl = jax.device_get(pk.wkv7_chunked_pallas_batched(r, lw, k, v, -a, b, s0, valid))
+    out_ref, st_ref = jax.device_get(ref.wkv7_batched(r, jnp.exp(lw), k, v, -a, b, s0, valid))
+    assert np.max(np.abs(out_pl - out_ref)) < 1e-1
+    assert np.max(np.abs(st_pl - st_ref)) < 2e-2
+
+
+@tpu_only
+def test_wkv7_step_kernel_compiled_on_tpu():
+    rng = np.random.default_rng(13)
+    B, H, S = 8, 32, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    out_ref, st_ref = jax.device_get(ref.wkv7_step(r, w, k, v, a, b, s0))
+    out_pl, st_pl = jax.device_get(pk.wkv7_step_batched(r, w, k, v, a, b, s0))
+    np.testing.assert_allclose(out_pl, out_ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(st_pl, st_ref, atol=1e-4, rtol=1e-4)
+
+
+@tpu_only
+def test_qmm_default_precision_on_tpu():
+    """ADVICE r1: the fused dequant-matmul runs DEFAULT (one-pass bf16 MXU)
+    precision on the chip; drift vs the f32 reference must stay at the
+    bf16-epsilon level (~0.4% relative of the accumulated magnitude)."""
+    from rwkv_tpu.ops import qmm as Q
+
+    rng = np.random.default_rng(3)
+    inn, out = 2048, 2048
+    q = jnp.asarray(rng.integers(-127, 128, (inn, out), dtype=np.int8))
+    d = jnp.asarray(rng.uniform(0.001, 0.01, (inn // 32, out)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, inn)), jnp.float32)
+    y_k = jax.device_get(Q.qmm(x, q, d))
+    y_r = jax.device_get(Q.qmm_reference(x, q, d))
+    denom = np.maximum(np.abs(y_r), np.abs(y_r).mean())
+    rel = np.abs(y_k - y_r) / denom
+    assert rel.max() < 2e-2, rel.max()
+    assert np.median(rel) < 3e-3

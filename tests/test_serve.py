@@ -106,3 +106,73 @@ def test_presence_frequency_penalties():
     for t in penalized:
         counts[t] = counts.get(t, 0) + 1
     assert max(counts.values()) <= 3, counts
+
+
+def test_host_and_device_sampling_agree_greedy(ctx):
+    """on_device=False (reference-style host sampling) and the on-device
+    sampled step must produce identical greedy streams."""
+    prompts = [list(b'"in the'), list(b"Once upon")]
+    dev = Server(ctx, max_streams=2, on_device=True)
+    host = Server(ctx, max_streams=2, on_device=False)
+    sids_d = [dev.add(p, GREEDY) for p in prompts]
+    sids_h = [host.add(p, GREEDY) for p in prompts]
+    dev.run_until_done()
+    host.run_until_done()
+    for sd, sh in zip(sids_d, sids_h):
+        assert dev.result(sd) == host.result(sh)
+
+
+def test_sampled_stream_valid(ctx):
+    """Sampled (temperature>0) streams emit in-vocab tokens and respect
+    max_new_tokens; two different seeds diverge."""
+    cfg = StreamConfig(temperature=1.0, top_p=0.9, max_new_tokens=20, stop_token=None)
+    outs = []
+    for seed in (1, 2):
+        srv = Server(ctx, max_streams=1, seed=seed)
+        sid = srv.add(list(b'"in the'), cfg)
+        srv.run_until_done()
+        toks = srv.result(sid)
+        assert len(toks) == 20
+        assert all(0 <= t < ctx.n_vocab for t in toks)
+        outs.append(toks)
+    assert outs[0] != outs[1]
+
+
+def test_sharded_server_matches_single_device(ctx):
+    """Server over a (dp=2, tp=4) mesh: tp-sharded weights, dp-sharded slots,
+    on-device sampling — per-stream results equal the single-device server
+    (SURVEY.md §5.8's promised multi-stream upgrade)."""
+    import jax
+    from rwkv_tpu.parallel import mesh as M
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = M.make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+
+    prompts = [list(b'"in the'), list(b"Once upon"), list(b"The quick")]
+    ref_srv = Server(ctx, max_streams=4)
+    ref_sids = [ref_srv.add(p, GREEDY) for p in prompts]
+    ref_srv.run_until_done()
+
+    srv = Server(ctx, max_streams=4, mesh=mesh)
+    sids = [srv.add(p, GREEDY) for p in prompts]
+    # join/leave cycle: let them run, then add a late stream
+    for _ in range(4):
+        srv.step()
+    late = srv.add(list(b"zzz"), GREEDY)
+    late_ref = ref_srv.add(list(b"zzz"), GREEDY)
+    ref_srv.run_until_done()
+    srv.run_until_done()
+    for s, r in zip(sids + [late], ref_sids + [late_ref]):
+        assert srv.result(s) == ref_srv.result(r), (s, r)
+
+
+def test_sharded_server_rejects_bad_batch(ctx):
+    import jax
+    from rwkv_tpu.parallel import mesh as M
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = M.make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
+    with pytest.raises(Exception):
+        Server(ctx, max_streams=3, mesh=mesh)  # 3 % dp(2) != 0

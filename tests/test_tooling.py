@@ -218,3 +218,27 @@ def test_generate_completions_cli():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "tok/s" in r.stdout or "Took" in r.stdout or len(r.stdout) > 0
+
+
+def test_ppl_sweep_tool(tmp_path):
+    """tools/ppl_sweep: one command produces the BASELINE.md-format table
+    (ppl / delta-vs-FP16 / latency / size per format) from a checkpoint."""
+    from rwkv_tpu.tools.ppl_sweep import sweep, format_table
+
+    src = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    tokens = list(
+        b"in the beginning the structure of the system was simple, and the "
+        b"people who used it understood the structure of the system well."
+    )
+    rows = sweep(src, tokens, formats=("Q5_1", "Q8_0", "FP16", "FP32"),
+                 ignore_first_n=8, workdir=str(tmp_path))
+    by_fmt = {r["format"]: r for r in rows}
+    # ordering: coarser formats can't beat FP32 by much; FP16 ~ FP32
+    assert abs(by_fmt["FP16"]["perplexity"] - by_fmt["FP32"]["perplexity"]) \
+        < 0.01 * by_fmt["FP32"]["perplexity"]
+    assert by_fmt["Q5_1"]["perplexity"] >= by_fmt["FP32"]["perplexity"] * 0.99
+    assert by_fmt["Q5_1"]["size_gb"] < by_fmt["FP16"]["size_gb"] < by_fmt["FP32"]["size_gb"]
+    table = format_table(rows)
+    assert "delta vs FP16" in table and "Q8_0" in table
+    # deltas computed against the FP16 row (BASELINE.md's anchor)
+    assert f"{by_fmt['Q8_0']['perplexity'] - by_fmt['FP16']['perplexity']:+.3f}" in table
