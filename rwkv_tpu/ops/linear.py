@@ -187,10 +187,13 @@ def matmul(x, lin: Linear):
             )
         return _matmul_quant_parity(x, lin)
     if lin.kind == "w8a8":
-        # turbo serving path: per-channel int8 weights x dynamically
-        # per-token-quantized int8 activations on the MXU's native int8 pipe
-        # (2x bf16 FLOP rate on v5e) with int32 accumulation, then one f32
-        # rescale. Plain XLA ops — the dot fuses with the layer slice.
+        # per-channel int8 weights x dynamically per-token-quantized int8
+        # activations, int8 x int8 -> int32 on the MXU, one f32 rescale.
+        # Plain XLA ops — the dot fuses with the layer slice. NOTE the
+        # measured truth (docs/KERNELS.md): the s8 dot lowers natively but
+        # runs at ~1.06x the bf16 FLOP rate on v5e via XLA, not 2x — the
+        # value of this mode is halved weight HBM (capacity) with zero
+        # dequant pass, not compute throughput.
         w = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
         dw = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -275,11 +278,13 @@ def quantize_dense_device(lin: Linear, group: int = 32) -> Linear:
 def quantize_dense_w8a8_device(lin: Linear) -> Linear:
     """Dense Linear -> per-output-channel int8 Linear (kind='w8a8').
 
-    Coarser than the per-32-block 'qfast' codes (one scale per column), but
-    the matmul runs on the MXU's native int8 pipe with dynamically quantized
-    int8 activations — ~2x bf16 FLOP throughput, so ~2x on compute-bound
-    prefill. Use 'qfast' when weight fidelity matters most (it matches the
-    file formats bit-for-bit); use 'w8a8' for maximum throughput.
+    Coarser than the per-32-block 'qfast' codes (one scale per column); the
+    matmul runs int8 x int8 -> int32 natively on the MXU with dynamically
+    quantized activations. Measured on v5e (docs/KERNELS.md): ~1.06x the
+    bf16 FLOP rate — NOT the 2x the int8 pipe nominally offers — so treat
+    this as a memory-capacity mode (half the weight bytes, no dequant pass),
+    not a compute turbo. Use 'qfast' when weight fidelity matters most (it
+    matches the file formats bit-for-bit).
     """
     if lin.kind == "w8a8":
         return lin
@@ -300,18 +305,17 @@ def quantize_dense_w8a8_device(lin: Linear) -> Linear:
 
 
 def quantize_params_device(params, keys=None, mode: str = "block",
-                           consume: bool = False, head: bool = True) -> dict:
+                           consume: bool = False, head: bool = False) -> dict:
     """Quantize a param pytree's projection Linears to int8 on device.
 
-    Extends the reference's quantization policy (rwkv_quantize.inc:1-13):
-    emb and the small low-rank tensors stay dense; the big per-layer
-    projections are quantized; and — beyond the reference — the HEAD matmul
-    is quantized too when head=True (the default). The reference keeps the
-    head in f16/f32 in its file format, but for TPU serving the head is pure
-    HBM traffic (E x V, ~15% of a decode step at 1.5B) and int8 block codes
-    hold logit correlation > 0.999 on the trained tiny models
-    (tests/test_serving_quant). Pass head=False for strict reference policy.
-    `keys` overrides the layer-Linear selection.
+    Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
+    emb/head and the small low-rank tensors stay dense; the big per-layer
+    projections are quantized. head=True additionally quantizes the head
+    matmul — measured on v5e decode (B=8, 1.5B) this LOSES ~8% for 'block'
+    mode (the per-tile dequant pass costs more than the halved HBM traffic
+    saves at 8 logit rows; docs/KERNELS.md "measured dead ends"), so the
+    default matches the reference policy; it can win for memory-capacity-
+    bound deployments. `keys` overrides the layer-Linear selection.
     mode: 'block' (per-32-block scales, fused dequant kernels) or 'w8a8'
     (per-channel scales, native int8 MXU matmuls).
     consume=True frees each dense HBM buffer as it is converted — required

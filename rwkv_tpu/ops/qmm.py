@@ -37,6 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 QK = 32
 
+# Tunable (OT, IT) tile override for the decode regime (T <= 64), applied
+# when the caller passes tiles=None. Module-level so on-chip autotuning can
+# flip it; jit caches trace-time reads, so clear caches after changing it.
+DECODE_TILES = None
+
 
 def _qmm_kernel(x_ref, q_ref, d_ref, o_ref, acc_ref, *, with_min, group, out_dtype):
     @pl.when(pl.program_id(2) == 0)
@@ -96,6 +101,8 @@ def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32, tiles=None):
     t, inn = x.shape
     out = q.shape[1]
     _check_aligned(inn, out, group)
+    if tiles is None and t <= 64:
+        tiles = DECODE_TILES
     # decode (small T): stream full rows; prefill (large T): bound VMEM by
     # tiling the token-row dimension too
     TT = _pick_tile(t, 256) if t > 256 else t
@@ -169,6 +176,8 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32, tiles
     t, inn = x.shape
     out = q.shape[2]
     _check_aligned(inn, out, group)
+    if tiles is None and t <= 64:
+        tiles = DECODE_TILES
     TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, tiles[0] if tiles else 512)
     IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 64 else 512)))

@@ -153,7 +153,13 @@ def wkv56_step(r, k, v, tf, w, state):
 
 def wkv7_step(r, w, k, v, a, b, state):
     """One v7 step, batched: all of r/w/k/v/a/b (..., H, S);
-    state (..., H, S, S) indexed [v_dim, k_dim]. Returns (out, state)."""
+    state (..., H, S, S) indexed [v_dim, k_dim]. Returns (out, state).
+
+    Measured dead end (round 2, do not retry blindly): expanding the output
+    around the OLD state (out = s.(w*r) + v(k.r) + sa(b.r)) to cut the
+    nominal state-HBM passes from 5 to 3 REGRESSED decode 3.58 -> 4.33
+    ms/step at B=8 — XLA's fusion of this exact form is already better than
+    the hand-restructured one."""
     sa = jnp.sum(state * a[..., None, :], axis=-1)
     state = (
         state * w[..., None, :]

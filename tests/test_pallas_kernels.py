@@ -155,21 +155,6 @@ def test_chunked_batched_matches_scan():
     np.testing.assert_allclose(np.asarray(st6), np.asarray(st6_ref), atol=2e-4, rtol=2e-4)
 
 
-def test_wkv7_step_kernel():
-    """Fused single-token decode-step kernel vs the jnp step."""
-    rng = np.random.default_rng(13)
-    B, H, S = 8, 4, 64
-    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
-                        for _ in range(6))
-    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
-    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
-    out_ref, st_ref = ref.wkv7_step(r, w, k, v, a, b, s0)
-    with pltpu.force_tpu_interpret_mode():
-        out_pl, st_pl = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
-    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)
-
-
 # ---------------------------------------------------------------------------
 # real-TPU (Mosaic-compiled) validation — RWKV_TPU_TESTS=1 mode only.
 # Interpret mode above proves the math; these prove the LOWERING: compiled
@@ -213,20 +198,6 @@ def test_wkv7_fused_compiled_on_tpu():
     out_ref, st_ref = jax.device_get(ref.wkv7_batched(r, jnp.exp(lw), k, v, -a, b, s0, valid))
     assert np.max(np.abs(out_pl - out_ref)) < 1e-1
     assert np.max(np.abs(st_pl - st_ref)) < 2e-2
-
-
-@tpu_only
-def test_wkv7_step_kernel_compiled_on_tpu():
-    rng = np.random.default_rng(13)
-    B, H, S = 8, 32, 64
-    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
-                        for _ in range(6))
-    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
-    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
-    out_ref, st_ref = jax.device_get(ref.wkv7_step(r, w, k, v, a, b, s0))
-    out_pl, st_pl = jax.device_get(pk.wkv7_step_batched(r, w, k, v, a, b, s0))
-    np.testing.assert_allclose(out_pl, out_ref, atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(st_pl, st_ref, atol=1e-4, rtol=1e-4)
 
 
 @tpu_only
