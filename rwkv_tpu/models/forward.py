@@ -601,48 +601,30 @@ def _token_shift_batched(x_ln, carry_xx, lengths):
     return x_prev, new_xx
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas", "remat"))
-def forward_seq(
-    params,
-    cfg: ModelConfig,
-    tokens,
-    state,
-    lengths,
-    compute_logits: bool = True,
-    all_logits: bool = False,
-    pallas: bool | None = None,
-    remat: bool = False,
-):
-    """Natively batched sequence forward: tokens (B, T) int32, state leaves
-    with a leading B axis, lengths (B,). Returns (logits (B, V) | (B, T, V) |
-    None, new_state).
+def run_layers_batched(layers, cfg: ModelConfig, x, st_layers, lengths, valid,
+                       v_first, base_layer=0, pallas=None, remat=False):
+    """Run a stack of layers (leaves with a leading layer axis) over batched
+    activations x (B, T, E), with layer-major state st_layers (Lsub, B, ...).
 
-    Unlike vmap(forward), the batch is a real tensor dimension end-to-end:
-    projections are (B*T, in) matmuls, the wkv recurrence folds (B, H) into
-    one kernel call, and weights are indexed lazily (at_layer) so the Pallas
-    kernels stream each layer once per call — vmap would re-stream weights
-    per stream and cannot batch the fused chunk kernel at all."""
+    Factored out of forward_seq so pipeline-parallel stages
+    (parallel/pipeline.py) can run their LOCAL layer slice: base_layer is
+    the global index of the first layer here (the v7 layer-0 v_first
+    specialization keys on the GLOBAL index). Returns ((x, v_first),
+    new_state layer-major)."""
     major = cfg.version_major
-    B, T = tokens.shape
-    valid = jnp.arange(T)[None, :] < lengths[:, None]           # (B, T)
-
-    x = params["emb"][tokens].astype(jnp.float32)               # (B, T, E)
-    x = layer_norm(x, params["ln0_w"], params["ln0_b"])
-    v_first0 = jnp.zeros_like(x)
-
-    st_layers = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
-
     from rwkv_tpu.ops import linear as linear_mod
 
-    weights = {k: v for k, v in params["layers"].items()
+    weights = {k: v for k, v in layers.items()
                if isinstance(v, linear_mod.Linear)}
-    vectors = {k: v for k, v in params["layers"].items()
+    vectors = {k: v for k, v in layers.items()
                if not isinstance(v, linear_mod.Linear)}
+    n_local = jax.tree.leaves(st_layers)[0].shape[0]
 
     def layer_fn(carry, xs):
         x, v_first = carry
         vecs, st, idx = xs
-        lp = {**vecs, **{k: linear_mod.at_layer(v, idx) for k, v in weights.items()}}
+        lp = {**vecs, **{k: linear_mod.at_layer(v, idx - base_layer)
+                         for k, v in weights.items()}}
 
         x_ln1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
         x_prev1, att_xx = _token_shift_batched(x_ln1, st["att_xx"], lengths)
@@ -682,10 +664,47 @@ def forward_seq(
         # intermediates — the standard FLOPs-for-HBM trade for training
         layer_fn = jax.checkpoint(layer_fn)
 
-    (x, _), new_state = jax.lax.scan(
+    return jax.lax.scan(
         layer_fn,
-        (x, v_first0),
-        (vectors, st_layers, jnp.arange(cfg.n_layer)),
+        (x, v_first),
+        (vectors, st_layers, base_layer + jnp.arange(n_local)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_logits", "all_logits", "pallas", "remat"))
+def forward_seq(
+    params,
+    cfg: ModelConfig,
+    tokens,
+    state,
+    lengths,
+    compute_logits: bool = True,
+    all_logits: bool = False,
+    pallas: bool | None = None,
+    remat: bool = False,
+):
+    """Natively batched sequence forward: tokens (B, T) int32, state leaves
+    with a leading B axis, lengths (B,). Returns (logits (B, V) | (B, T, V) |
+    None, new_state).
+
+    Unlike vmap(forward), the batch is a real tensor dimension end-to-end:
+    projections are (B*T, in) matmuls, the wkv recurrence folds (B, H) into
+    one kernel call, and weights are indexed lazily (at_layer) so the Pallas
+    kernels stream each layer once per call — vmap would re-stream weights
+    per stream and cannot batch the fused chunk kernel at all."""
+    major = cfg.version_major
+    B, T = tokens.shape
+    valid = jnp.arange(T)[None, :] < lengths[:, None]           # (B, T)
+
+    x = params["emb"][tokens].astype(jnp.float32)               # (B, T, E)
+    x = layer_norm(x, params["ln0_w"], params["ln0_b"])
+    v_first0 = jnp.zeros_like(x)
+
+    st_layers = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+
+    (x, _), new_state = run_layers_batched(
+        params["layers"], cfg, x, st_layers, lengths, valid, v_first0,
+        base_layer=0, pallas=pallas, remat=remat,
     )
     new_state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), new_state)
 
