@@ -122,7 +122,8 @@ def main():
     measure_prefill(params, "bf16")
     w8 = L.quantize_params_device(params, mode="w8a8")
     jax.block_until_ready(jax.tree.leaves(w8))
-    measure_prefill(w8, "w8a8 (int8 MXU)")
+    # measured ~1.06x bf16 FLOPs on v5e (not 2x) — capacity mode, see docs/KERNELS.md
+    measure_prefill(w8, "w8a8 (s8 MXU dots)")
     print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s", file=sys.stderr)
 
     baseline_tps = 1000.0 / 89.0  # reference RWKV-4 1.5B Q8_0, ms/token -> tok/s

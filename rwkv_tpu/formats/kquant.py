@@ -18,6 +18,16 @@ code only on exact ties of the error metric.
 
 Everything is vectorized numpy over sub-blocks; the nstep grid searches
 (15-21 candidate scales) loop in Python but evaluate all blocks at once.
+
+Fixture caveat (round-1 advisor): there are no ggml-produced golden K-quant
+fixtures committed — this build environment has no network access and the
+reference snapshot does not vendor the ggml submodule, so a byte-level
+golden against real ggml output cannot be generated here. Validation is
+therefore (a) the Python and native C++ decoders agreeing bit-exactly,
+(b) layout self-consistency/round-trip bounds per format, and (c) the spec
+transcription above. If you have a llama.cpp/ggml `quantize` binary, run
+tests/test_kquant.py::test_against_external_fixture with
+RWKV_KQUANT_FIXTURE_DIR pointing at ggml-encoded blocks to close the loop.
 """
 
 from __future__ import annotations

@@ -249,7 +249,9 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     xxx = x_ln + sx * lp["maa_x"]
     five = jnp.tanh(matmul(xxx, lp["tm_w1"]))                    # (..., T, 5K)
     five = five.reshape(*five.shape[:-1], 5, -1)                 # (..., T, 5, K)
-    mixes = jnp.einsum("...ik,ike->i...e", five, lp["tm_w2"])    # (5, ..., T, E)
+    # tiny (K=32) contraction: keep true-f32 on TPU for oracle parity
+    mixes = jnp.einsum("...ik,ike->i...e", five, lp["tm_w2"],
+                       precision=jax.lax.Precision.HIGHEST)      # (5, ..., T, E)
     mw, mk, mv, mr, mg = mixes
     xw = x_ln + (mw + lp["maa_w"]) * sx
     xk = x_ln + (mk + lp["maa_k"]) * sx

@@ -154,10 +154,16 @@ def _matmul_quant_parity(x, lin: Linear):
     want_sum = lin.fmt in ("Q4_1", "Q5_1")
     qa, da, sa = _q8_activations(x, want_sum)
     qw = lin.q.astype(jnp.int32)
-    sumi = jnp.einsum("tnj,onj->ton", qa, qw).astype(jnp.float32)
-    y = jnp.einsum("ton,on,tn->to", sumi, lin.d, da)
+    # precision=HIGHEST: on TPU a DEFAULT einsum would push the (converted)
+    # integer code products through one-pass bf16 — an 8-bit mantissa on
+    # 16k-magnitude products, corrupting the ggml-parity sums the golden
+    # quantized oracles pin. All values here are < 2^24, exactly
+    # representable in true f32.
+    HI = jax.lax.Precision.HIGHEST
+    sumi = jnp.einsum("tnj,onj->ton", qa, qw, precision=HI).astype(jnp.float32)
+    y = jnp.einsum("ton,on,tn->to", sumi, lin.d, da, precision=HI)
     if want_sum:
-        y = y + jnp.einsum("on,tn->to", lin.m, sa)
+        y = y + jnp.einsum("on,tn->to", lin.m, sa, precision=HI)
     return y
 
 
@@ -172,10 +178,17 @@ def matmul(x, lin: Linear):
         w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
         if w.dtype == jnp.bfloat16:
             return jnp.dot(x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
-        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+        # f32 weights mean the caller wants f32 numerics (the reference is
+        # strictly-f32 activations); on TPU the DEFAULT matmul precision is
+        # one bf16 pass, which breaks the FP32 golden-logit oracles
+        # (diff-sum tolerance 0.001) — force the true-f32 algorithm. Speed
+        # paths use bf16/quantized weights and are unaffected.
+        return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     if lin.kind == "f16":
         w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
-        return jnp.dot(x.astype(jnp.float16), w, preferred_element_type=jnp.float32)
+        return jnp.dot(x.astype(jnp.float16), w, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     if lin.kind == "quant":
         if lin.layer is not None:
             lin = dataclasses.replace(

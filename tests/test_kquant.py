@@ -227,3 +227,37 @@ def test_q8_k_roundtrip():
     # all-zero superblock encodes d=0, q=0
     z = K.quantize_q8_k(np.zeros(256, np.float32))
     assert np.frombuffer(z, np.uint8)[:260].sum() == 0
+
+
+def test_against_external_fixture():
+    """Optional byte-level golden against real ggml output: point
+    RWKV_KQUANT_FIXTURE_DIR at a directory of files named
+    `<FMT>.f32` (raw float32 input, row length a multiple of 256) and
+    `<FMT>.bin` (the same data encoded by ggml/llama.cpp quantize). Skipped
+    when unset — this build environment has no network access to generate
+    them (see formats/kquant.py docstring)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from rwkv_tpu.formats import kquant as K
+
+    d = os.environ.get("RWKV_KQUANT_FIXTURE_DIR")
+    if not d:
+        pytest.skip("RWKV_KQUANT_FIXTURE_DIR not set")
+    found = 0
+    for fmt in K.ENCODABLE:
+        f32 = os.path.join(d, f"{fmt}.f32")
+        enc = os.path.join(d, f"{fmt}.bin")
+        if not (os.path.exists(f32) and os.path.exists(enc)):
+            continue
+        found += 1
+        x = np.fromfile(f32, np.float32)
+        expected = open(enc, "rb").read()
+        actual = K.quantize(fmt, x)
+        assert actual == expected, f"{fmt}: byte mismatch vs ggml fixture"
+        # decode equality regardless of encoder tie-breaks
+        np.testing.assert_allclose(
+            K.dequantize(fmt, actual, x.shape), K.dequantize(fmt, expected, x.shape))
+    assert found, f"no fixtures found in {d}"

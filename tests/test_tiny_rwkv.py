@@ -56,21 +56,62 @@ EXPECTED_COMMITTED = {
 }
 
 
-def _eval_both_modes(path, expected):
-    """Returns (serial_diff_sum, sequence_diff_sum)."""
+def _eval_logits_both_modes(path, device=None):
+    """Returns (serial_logits, sequence_logits) numpy arrays."""
+    import jax
+
     cfg, prm = P.load_params(path, parity=True)
+    if device is not None:
+        prm = jax.device_put(prm, device)
     state = F.init_state(cfg)
+    if device is not None:
+        state = jax.device_put(state, device)
     logits = None
     for tok in PROMPT:
         logits, state = F.forward(prm, cfg, jnp.array([tok], jnp.int32), state, jnp.int32(1))
-    serial = logit_diff_sum(logits, expected)
+    serial = np.asarray(logits)
 
     state = F.init_state(cfg)
+    if device is not None:
+        state = jax.device_put(state, device)
     logits, state = F.forward(
         prm, cfg, jnp.array(PROMPT, jnp.int32), state, jnp.int32(len(PROMPT))
     )
-    seq = logit_diff_sum(logits, expected)
-    return serial, seq
+    return serial, np.asarray(logits)
+
+
+def _eval_both_modes(path, expected):
+    """Returns (serial_diff_sum, sequence_diff_sum)."""
+    serial, seq = _eval_logits_both_modes(path)
+    return logit_diff_sum(serial, expected), logit_diff_sum(seq, expected)
+
+
+def _assert_quantized_oracles(path, expected, exp, what):
+    """Quantized oracle protocol. On CPU: the reference's diff-sum band
+    directly. On the real TPU: the per-layer ACTIVATION re-quantization in
+    the parity int-dot path turns 1-ulp backend differences (transcendental
+    implementations) into discrete int8 code flips, so quantized logit sums
+    are only meaningful same-backend (the reference pins per-backend values
+    too — its FP32- and FP16-source oracles differ ~9% from f16 rounding
+    alone). The honest TPU check: the CPU evaluation must hit the reference
+    band AND the TPU evaluation must match the CPU one per-element within
+    the measured code-flip noise (max 0.078 observed on logits of scale 7)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        serial, seq = _eval_both_modes(path, expected)
+        assert_diff_ok(serial, exp, f"{what} serial")
+        assert_diff_ok(seq, exp, f"{what} sequence")
+        return
+    cpu = jax.devices("cpu")[0]
+    serial_c, seq_c = _eval_logits_both_modes(path, device=cpu)
+    assert_diff_ok(logit_diff_sum(serial_c, expected), exp, f"{what} serial (cpu)")
+    assert_diff_ok(logit_diff_sum(seq_c, expected), exp, f"{what} sequence (cpu)")
+    serial_t, seq_t = _eval_logits_both_modes(path)
+    np.testing.assert_allclose(serial_t, serial_c, atol=0.25, rtol=0.03,
+                               err_msg=f"{what} serial tpu-vs-cpu")
+    np.testing.assert_allclose(seq_t, seq_c, atol=0.25, rtol=0.03,
+                               err_msg=f"{what} sequence tpu-vs-cpu")
 
 
 @pytest.mark.parametrize(
@@ -105,9 +146,7 @@ def test_quantized(version, fmt, src, tmp_path):
     src_path = fixture(f"tiny-rwkv-{version}-{src}.bin")
     qpath = str(tmp_path / f"tiny-{version}-{src}-{fmt}.bin")
     quantize_model_file(src_path, qpath, fmt)
-    serial, seq = _eval_both_modes(qpath, expected)
-    assert_diff_ok(serial, exp, f"{version} {src}->{fmt} serial")
-    assert_diff_ok(seq, exp, f"{version} {src}->{fmt} sequence")
+    _assert_quantized_oracles(qpath, expected, exp, f"{version} {src}->{fmt}")
 
 
 @pytest.mark.parametrize("fmt", ["Q5_0", "Q5_1"])
@@ -116,9 +155,9 @@ def test_committed_quant_format_compatibility(version, fmt):
     """Pin the on-disk quant format: committed (not re-quantized) Q5 files."""
     exp = EXPECTED_COMMITTED[version][fmt]
     expected = expected_logits(version)
-    serial, seq = _eval_both_modes(fixture(f"tiny-rwkv-{version}-{fmt}.bin"), expected)
-    assert_diff_ok(serial, exp, f"{version} committed {fmt} serial")
-    assert_diff_ok(seq, exp, f"{version} committed {fmt} sequence")
+    _assert_quantized_oracles(
+        fixture(f"tiny-rwkv-{version}-{fmt}.bin"), expected, exp,
+        f"{version} committed {fmt}")
 
 
 @pytest.mark.parametrize("version", ["5v2-730K", "7v0-834K"])
