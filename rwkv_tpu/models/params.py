@@ -139,6 +139,8 @@ class _Source:
             )
         if self.nf and ty in ("FP32", "FP16"):
             w = self.to_float32(key).T
+            if not parity:
+                w = w.astype(np.dtype(L.fast_dense_dtype(parity)))
             return L.Linear(w=np.ascontiguousarray(w), kind="dense")
         return L.from_record(self._rec(key), parity)
 

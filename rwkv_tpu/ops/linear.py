@@ -80,10 +80,25 @@ def group_of(fmt: str) -> int:
     return 16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32
 
 
-def from_record(rec, parity: bool, dense_dtype=jnp.float32) -> Linear:
+def fast_dense_dtype(parity: bool):
+    """Storage dtype for dense (unquantized) weights. Parity keeps true f32
+    (the reference's numerics — and matmul runs those at HIGHEST precision
+    for oracle fidelity). Fast mode on TPU stores bf16: half the HBM
+    traffic and the one-pass MXU dot; keeping f32 would silently run the
+    multi-pass HIGHEST algorithm on the serving path."""
+    if not parity and jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return np.float32
+
+
+def from_record(rec, parity: bool, dense_dtype=None) -> Linear:
     """Build a Linear from a file tensor record (2D, numpy shape (out, in))."""
+    if dense_dtype is None:
+        dense_dtype = fast_dense_dtype(parity)
     if rec.type_name == "FP32":
         w = rec.to_float32().T
+        if not parity:
+            w = w.astype(np.dtype(dense_dtype))
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if rec.type_name == "FP16":
         # ggml's effective F16 mul_mat here upconverts to f32 (llamafile sgemm /

@@ -23,15 +23,12 @@ remains the first-choice axis for <=7B (SURVEY.md §2.4).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rwkv_tpu.models import forward as fwd
 from rwkv_tpu.models.params import ModelConfig
-from rwkv_tpu.ops.linear import Linear
 from rwkv_tpu.runtime.errors import RWKVArgsError
 
 
@@ -82,7 +79,6 @@ def make_pp_forward_seq(cfg: ModelConfig, mesh: Mesh, n_micro: int | None = None
     P_ = mesh.shape["pp"]
     M = n_micro or P_
     Lp = cfg.n_layer // P_
-    major = cfg.version_major
 
     def _pp(layers, emb, ln0_w, ln0_b, ln_out_w, ln_out_b, head_lin,
             tokens, state, lengths):

@@ -89,16 +89,15 @@ def state_specs(cfg: ModelConfig, batched: bool, layer_major: bool = False) -> d
     """State pytree specs: dp over the stream batch, tp over heads.
     layer_major=True is the serving layout (L, B, ...) (runtime/serve.py);
     otherwise batched state is (B, L, ...)."""
-    if not batched:
-        lead = ()
-    elif layer_major:
-        lead = (None, "dp")
-    else:
-        lead = ("dp", None)
     # token-shift carries feed column-parallel matmuls, so they stay
     # replicated over tp; the per-channel (v4) / per-head (v5+) wkv state is
     # the big tensor and shards cleanly
-    lead = lead if batched else (None,)  # unbatched: (L, ...) leading layer dim
+    if not batched:
+        lead = (None,)            # unbatched: (L, ...) leading layer dim
+    elif layer_major:
+        lead = (None, "dp")       # serving layout (L, B, ...)
+    else:
+        lead = ("dp", None)       # (B, L, ...)
     base = {
         "ffn_xx": P(*lead, None),
         "att_xx": P(*lead, None),

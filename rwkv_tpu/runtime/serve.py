@@ -100,7 +100,12 @@ class Server:
     """Slot-based continuous batching over one model."""
 
     def __init__(self, ctx, max_streams: int = 8, seed: int = 0,
-                 on_device: bool = True, mesh=None):
+                 on_device: bool = True, mesh=None, top_k: int = 512):
+        """top_k: on-device sampling evaluates the nucleus inside the top-k
+        logit window (exact whenever the top-p nucleus holds fewer than k
+        tokens — true for any practical top_p; at top_p ~ 1.0 with a high
+        temperature the tail beyond k is unreachable on device, unlike the
+        full-vocab host path — raise top_k or use on_device=False there)."""
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.B = max_streams
@@ -141,6 +146,8 @@ class Server:
         self._key = jax.random.PRNGKey(seed)
         self._step_no = 0
         self._cfg_arrays = None  # rebuilt lazily on stream join/leave
+        self._zero_bias = None   # cached (B, V) zeros for bias-free configs
+        self.top_k = top_k
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -176,6 +183,10 @@ class Server:
         # sample the first generated token from the prefill logits (host-side:
         # this is once per join, not per step)
         self._emit(stream, np.asarray(logits))
+        # mirror the first token into the on-device penalty counts so
+        # serve_step's presence/frequency penalties see it too
+        for t, n in stream.token_counts.items():
+            self._counts = self._counts.at[slot, t].set(n)
         return sid
 
     def _emit(self, stream: _Stream, logits: np.ndarray):
@@ -207,7 +218,10 @@ class Server:
 
     def _slot_config_arrays(self):
         """(active, temps, top_ps, presence, freq, bias) dense per-slot
-        arrays; rebuilt only when streams join/leave."""
+        arrays; rebuilt only when streams join/leave. The (B, V) bias matrix
+        is only materialized/uploaded when some stream actually configures a
+        logit_bias — otherwise a cached device zeros array is reused (at
+        B=128 V=65k a fresh upload per join would cost 32 MB)."""
         if self._cfg_arrays is not None:
             return self._cfg_arrays
         B, V = self.B, self.cfg.n_vocab
@@ -216,7 +230,8 @@ class Server:
         top_ps = np.ones(B, np.float32)
         presence = np.zeros(B, np.float32)
         freq = np.zeros(B, np.float32)
-        bias = np.zeros((B, V), np.float32)
+        any_bias = any(s.config.logit_bias for s in self._by_slot.values())
+        bias = np.zeros((B, V), np.float32) if any_bias else None
         for s in self._by_slot.values():
             c = s.config
             active[s.slot] = True
@@ -227,8 +242,14 @@ class Server:
             if c.logit_bias:
                 for t, b in c.logit_bias.items():
                     bias[s.slot, t] = b
+        if bias is None:
+            if self._zero_bias is None:
+                self._zero_bias = jnp.zeros((B, V), jnp.float32)
+            bias_dev = self._zero_bias
+        else:
+            bias_dev = jnp.asarray(bias)
         self._cfg_arrays = tuple(jnp.asarray(a) for a in
-                                 (active, temps, top_ps, presence, freq, bias))
+                                 (active, temps, top_ps, presence, freq)) + (bias_dev,)
         return self._cfg_arrays
 
     def step(self) -> Dict[int, int]:
@@ -247,6 +268,7 @@ class Server:
         tok, self._state, self._counts = serve_step(
             self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
             self._counts, active, temps, top_ps, presence, freq, bias, key,
+            top_k=self.top_k,
         )
         tok_np = np.asarray(tok)
         out = {}

@@ -176,3 +176,18 @@ def test_sharded_server_rejects_bad_batch(ctx):
     mesh = M.make_mesh(dp=2, tp=4, devices=jax.devices()[:8])
     with pytest.raises(Exception):
         Server(ctx, max_streams=3, mesh=mesh)  # 3 % dp(2) != 0
+
+
+def test_host_and_device_penalties_agree(ctx):
+    """Greedy + crushing penalties must be identical between host and device
+    sampling — including the penalty on the FIRST (host-sampled) token,
+    which must be mirrored into the on-device counts."""
+    cfg = StreamConfig(temperature=0.0, max_new_tokens=24, stop_token=None,
+                       presence_penalty=4.0, frequency_penalty=2.0)
+    outs = []
+    for on_device in (True, False):
+        srv = Server(ctx, max_streams=1, seed=0, on_device=on_device)
+        sid = srv.add(list(b'"in the'), cfg)
+        srv.run_until_done()
+        outs.append(srv.result(sid))
+    assert outs[0] == outs[1]
