@@ -78,6 +78,27 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
     return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
 
 
+# decode-step wkv7 dispatch threshold on B*H: at small batch the jnp step
+# fuses into the unrolled decode body and wins (the Pallas call broke
+# fusion: 3.58 -> 3.83 ms/step at B=8, BH=256); from BH=512 up the
+# (B, H, S, S) state traffic dominates and the one-read-one-write kernel
+# wins (v5e int8 1.5B, H=32: +6% tok/s at B=16, +12% B=32, +19% B=64,
+# +16% B=128 — docs/KERNELS.md)
+STEP_KERNEL_MIN_BH = 512
+
+
+def _wkv7_step_dispatch(r, w, k, v, a, b, heads):
+    if (
+        r.ndim == 3
+        and r.shape[0] * r.shape[1] >= STEP_KERNEL_MIN_BH
+        and jax.default_backend() == "tpu"
+    ):
+        from rwkv_tpu.ops.pallas_wkv import wkv7_step_batched
+
+        return wkv7_step_batched(r, w, k, v, a, b, heads)
+    return wkv_ops.wkv7_step(r, w, k, v, a, b, heads)
+
+
 def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
     """lw = log(w) when the caller has it for free (v6's pre-exp decay, or
     one log of v5's tiny constant-decay vector) — the fused kernel's input."""
@@ -306,9 +327,7 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
 
     rh, wh, kh, vh, ah = (_heads(t, H, S) for t in (r, w, k, v, a))
     if step:
-        # jnp step; measured faster than a Pallas T=1 grid at every batch size
-        # (the per-program overhead of tiny (1, HB, S) vector blocks dominates)
-        out, heads = wkv_ops.wkv7_step(rh, wh, kh, vh, -kk, kk * ah, heads)
+        out, heads = _wkv7_step_dispatch(rh, wh, kh, vh, -kk, kk * ah, heads)
     else:
         out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas,
                            lw=_heads(lw, H, S))

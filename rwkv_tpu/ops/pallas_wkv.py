@@ -32,6 +32,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 # ---------------------------------------------------------------------------
+# fused single-token wkv7 decode step. The jnp step (ops/wkv.py::wkv7_step)
+# lowers to ~5 XLA fusions that each re-stream the (B, H, S, S) state from
+# HBM; this kernel reads the state once and writes it once. Measured on
+# v5e (int8 1.5B decode): LOSES at B=8 (3.58 -> 3.83 ms/step — the custom
+# call breaks XLA's cross-op fusion, and at small B the state is a minor
+# term) but WINS at large B where state traffic dominates the step —
+# models/forward.py dispatches it by batch size (STEP_KERNEL_MIN_B).
+# ---------------------------------------------------------------------------
+
+def _wkv7_step_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
+                      out_ref, sT_ref):
+    s = s0_ref[...]                                  # (HB, Sv, Sk)
+    a = a_ref[...]
+    sa = jnp.sum(s * a[:, None, :], axis=2)          # (HB, Sv)
+    s = (
+        s * w_ref[...][:, None, :]
+        + v_ref[...][:, :, None] * k_ref[...][:, None, :]
+        + sa[:, :, None] * b_ref[...][:, None, :]
+    )
+    sT_ref[...] = s
+    out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 32):
+    """One decode step, (B, H) folded: r/w/k/v/a/b (BH, S) f32, state
+    (BH, Sv, Sk) f32. Returns (out (BH, S), new state)."""
+    BH, S = r.shape
+    HB = min(head_block, BH)
+    while BH % HB:
+        HB -= 1
+    vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
+    out, st = pl.pallas_call(
+        _wkv7_step_kernel,
+        grid=(BH // HB,),
+        in_specs=[vec_spec] * 6 + [st_spec],
+        out_specs=[vec_spec, st_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), jnp.float32),
+        ],
+    )(r, w, k, v, a, b, state)
+    return out, st
+
+
+def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 32):
+    """Drop-in for ops/wkv.py::wkv7_step at (B, H, S) shapes."""
+    B, H, S = r.shape
+    fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    out, st = wkv7_step_pallas(
+        fold(r), fold(w), fold(k), fold(v), fold(a), fold(b), fold(state),
+        head_block=head_block,
+    )
+    return out.reshape(B, H, S), st.reshape(B, H, S, S)
+
+
+# ---------------------------------------------------------------------------
 # fused chunk-parallel wkv6 (also serves v5 with per-token-broadcast constant
 # decay). Semantics (ggml_rwkv_wkv6, use sites rwkv_graph.inc:275, 370):
 #

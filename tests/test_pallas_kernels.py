@@ -218,3 +218,19 @@ def test_qmm_default_precision_on_tpu():
     rel = np.abs(y_k - y_r) / denom
     assert rel.max() < 2e-2, rel.max()
     assert np.median(rel) < 3e-3
+
+
+def test_wkv7_step_kernel():
+    """Fused single-token decode-step kernel vs the jnp step (dispatched for
+    large B*H in models/forward.py)."""
+    rng = np.random.default_rng(13)
+    B, H, S = 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    out_ref, st_ref = ref.wkv7_step(r, w, k, v, a, b, s0)
+    with pltpu.force_tpu_interpret_mode():
+        out_pl, st_pl = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)

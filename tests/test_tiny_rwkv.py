@@ -162,11 +162,23 @@ def test_committed_quant_format_compatibility(version, fmt):
 
 @pytest.mark.parametrize("version", ["5v2-730K", "7v0-834K"])
 def test_fast_mode_matches_fp32_oracle(version):
-    """The fast (non-parity, dense f32) path must also hit the FP32 oracle."""
+    """The fast (non-parity) path must track the FP32 oracle. On CPU fast
+    mode keeps f32 dense weights (FP32-band exact); on TPU it intentionally
+    stores bf16 (ops/linear.py::fast_dense_dtype), so the band is the FP16
+    oracles' magnitude class instead."""
+    import jax
+
     expected = expected_logits(version)
     cfg, prm = P.load_params(fixture(f"tiny-rwkv-{version}-FP32.bin"), parity=False)
     state = F.init_state(cfg)
     logits, _ = F.forward(
         prm, cfg, jnp.array(PROMPT, jnp.int32), state, jnp.int32(len(PROMPT))
     )
-    assert_diff_ok(logit_diff_sum(logits, expected), 0.001, f"{version} fast-mode")
+    d = logit_diff_sum(logits, expected)
+    if jax.default_backend() == "cpu":
+        assert_diff_ok(d, 0.001, f"{version} fast-mode")
+    else:
+        # bf16 weights: allow the larger of 1.0 or 4x this version's FP16
+        # oracle magnitude (bf16 has 3 fewer mantissa bits than fp16)
+        band = max(1.0, 4 * abs(EXPECTED_FULL[(version, "FP16")]))
+        assert abs(d) <= band, f"{version} fast-mode bf16: {d:+.4f} > {band}"
