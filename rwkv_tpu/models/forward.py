@@ -99,6 +99,20 @@ def _wkv7_step_dispatch(r, w, k, v, a, b, heads):
     return wkv_ops.wkv7_step(r, w, k, v, a, b, heads)
 
 
+def _wkv56_step_dispatch(r, k, v, tf, w, heads):
+    """Same batch-size-gated kernel dispatch as _wkv7_step_dispatch for the
+    v5/v6 step (identical state-traffic economics)."""
+    if (
+        r.ndim == 3
+        and r.shape[0] * r.shape[1] >= STEP_KERNEL_MIN_BH
+        and jax.default_backend() == "tpu"
+    ):
+        from rwkv_tpu.ops.pallas_wkv import wkv56_step_batched
+
+        return wkv56_step_batched(r, k, v, tf, w, heads)
+    return wkv_ops.wkv56_step(r, k, v, tf, w, heads)
+
+
 def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
     """lw = log(w) when the caller has it for free (v6's pre-exp decay, or
     one log of v5's tiny constant-decay vector) — the fused kernel's input."""
@@ -251,7 +265,7 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
         xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
         g = jax.nn.silu(matmul(xg, lp["att_gate"]))
     if step:
-        out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], lp["time_decay"], heads)
+        out, heads = _wkv56_step_dispatch(r, k, v, lp["time_first"], lp["time_decay"], heads)
     else:
         w = jnp.broadcast_to(lp["time_decay"], r.shape)
         # one log over the (H, S) constant-decay vector, broadcast lazily —
@@ -288,7 +302,7 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     lw = -jnp.exp(w)          # log-decay, free for the fused kernel
     w = jnp.exp(lw)
     if step:
-        out, heads = wkv_ops.wkv56_step(r, k, v, lp["time_first"], _heads(w, H, S), heads)
+        out, heads = _wkv56_step_dispatch(r, k, v, lp["time_first"], _heads(w, H, S), heads)
     else:
         out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid,
                             pallas, lw=_heads(lw, H, S))

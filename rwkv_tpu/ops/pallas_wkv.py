@@ -89,6 +89,54 @@ def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 32):
     return out.reshape(B, H, S), st.reshape(B, H, S, S)
 
 
+def _wkv56_step_kernel(r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref,
+                       out_ref, sT_ref):
+    s = s0_ref[...]                                  # (HB, Sk, Sv)
+    k = k_ref[...]
+    v = v_ref[...]
+    kv = k[:, :, None] * v[:, None, :]
+    out_ref[...] = jnp.sum(
+        (s + tf_ref[...][:, :, None] * kv) * r_ref[...][:, :, None], axis=1)
+    sT_ref[...] = s * w_ref[...][:, :, None] + kv
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 32):
+    """One v5/v6 decode step, (B, H) folded: r/k/v/w/tf (BH, S) f32, state
+    (BH, Sk, Sv) f32. Returns (out (BH, S), new state). Same
+    one-read-one-write rationale as the wkv7 step kernel above."""
+    BH, S = r.shape
+    HB = min(head_block, BH)
+    while BH % HB:
+        HB -= 1
+    vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
+    out, st = pl.pallas_call(
+        _wkv56_step_kernel,
+        grid=(BH // HB,),
+        in_specs=[vec_spec] * 5 + [st_spec],
+        out_specs=[vec_spec, st_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), jnp.float32),
+        ],
+    )(r, k, v, w, tf, state)
+    return out, st
+
+
+def wkv56_step_batched(r, k, v, tf, w, state, head_block: int = 32):
+    """Drop-in for ops/wkv.py::wkv56_step at (B, H, S) shapes; tf and w may
+    be (H, S) (v5's constant decay) — broadcast across the batch here."""
+    B, H, S = r.shape
+    fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    tf_b = fold(jnp.broadcast_to(tf, (B, H, S)))
+    w_b = fold(jnp.broadcast_to(w, (B, H, S)))
+    out, st = wkv56_step_pallas(
+        fold(r), fold(k), fold(v), tf_b, w_b, fold(state), head_block=head_block,
+    )
+    return out.reshape(B, H, S), st.reshape(B, H, S, S)
+
+
 # ---------------------------------------------------------------------------
 # fused chunk-parallel wkv6 (also serves v5 with per-token-broadcast constant
 # decay). Semantics (ggml_rwkv_wkv6, use sites rwkv_graph.inc:275, 370):

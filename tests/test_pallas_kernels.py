@@ -234,3 +234,21 @@ def test_wkv7_step_kernel():
         out_pl, st_pl = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_wkv56_step_kernel():
+    """Fused v5/v6 decode-step kernel vs the jnp step, incl. (H, S)-shaped
+    constant decay broadcast (the v5 calling convention)."""
+    rng = np.random.default_rng(17)
+    B, H, S = 8, 4, 64
+    r, k, v = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32) for _ in range(3))
+    w_b = jnp.exp(-jnp.exp(jnp.asarray(rng.uniform(-2, 1, (B, H, S)), jnp.float32)))
+    w_c = jnp.exp(-jnp.exp(jnp.asarray(rng.uniform(-2, 1, (H, S)), jnp.float32)))
+    tf = jnp.asarray(rng.uniform(0, 0.3, (H, S)), jnp.float32)
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    for w in (w_b, w_c):
+        out_ref, st_ref = ref.wkv56_step(r, k, v, tf, w, s0)
+        with pltpu.force_tpu_interpret_mode():
+            out_pl, st_pl = pk.wkv56_step_batched(r, k, v, tf, w, s0)
+        np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)
