@@ -100,13 +100,11 @@ def _wkv7_step_dispatch(r, w, k, v, a, b, heads):
 
 
 def _wkv56_step_dispatch(r, k, v, tf, w, heads):
-    """Same batch-size-gated kernel dispatch as _wkv7_step_dispatch for the
-    v5/v6 step (identical state-traffic economics)."""
-    if (
-        r.ndim == 3
-        and r.shape[0] * r.shape[1] >= STEP_KERNEL_MIN_BH
-        and jax.default_backend() == "tpu"
-    ):
+    """Kernel dispatch for the v5/v6 decode step. Unlike v7 (which only wins
+    from BH=512 up), the fused step kernel beats XLA's fusion of the v5/v6
+    jnp step at EVERY batch size (v5e int8 1.5B v6: +22% tok/s at B=8, +27%
+    B=16, +52% B=64), so it is unconditional on TPU."""
+    if r.ndim == 3 and jax.default_backend() == "tpu":
         from rwkv_tpu.ops.pallas_wkv import wkv56_step_batched
 
         return wkv56_step_batched(r, k, v, tf, w, heads)
