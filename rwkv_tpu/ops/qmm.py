@@ -101,13 +101,15 @@ def qmm(x, q, d, m=None, group: int = QK, out_dtype=jnp.float32, tiles=None):
     t, inn = x.shape
     out = q.shape[1]
     _check_aligned(inn, out, group)
-    if tiles is None and t <= 64:
+    if tiles is None and t <= 256:
         tiles = DECODE_TILES
-    # decode (small T): stream full rows; prefill (large T): bound VMEM by
-    # tiling the token-row dimension too
+    # decode (small/medium T, through B=128 batched steps): stream full
+    # contraction rows; prefill (large T): bound VMEM by tiling the token-row
+    # dimension too. The t<=256 boundary is measured: IT=2048 at B=128
+    # decode is +6% over IT=512 (7124 vs 6733 tok/s, int8 1.5B).
     TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, tiles[0] if tiles else 512)
-    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 64 else 512)))
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
     if IT % group:
         raise ValueError(f"in_tile {IT} not a multiple of {group}")
 
@@ -176,11 +178,11 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32, tiles
     t, inn = x.shape
     out = q.shape[2]
     _check_aligned(inn, out, group)
-    if tiles is None and t <= 64:
+    if tiles is None and t <= 256:
         tiles = DECODE_TILES
     TT = _pick_tile(t, 256) if t > 256 else t
     OT = _pick_tile(out, tiles[0] if tiles else 512)
-    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 64 else 512)))
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
 
     with_min = m is not None
     if with_min:
