@@ -150,3 +150,21 @@ def test_context_on_device_quantize(mode):
 
     with pytest.raises(Exception):
         Context(path, parity=True, quantize=mode)
+
+
+@pytest.mark.parametrize("model", ["4v0-660K-FP32", "7v0-834K-FP32"])
+def test_chunked_matches_serial_other_versions(model):
+    """Device-scanned chunked prefill == serial for the v4 (cumsum max-trick)
+    and v7 (v_first reset per chunk) architectures."""
+    from tests.common import fixture as fx
+
+    c = Context(fx(f"tiny-rwkv-{model}.bin"))
+    prompt = list(b'"in the beginning, the world was made of stress')
+    lg_serial, st_serial = None, None
+    st = None
+    for t in prompt:
+        lg_serial, st = c.eval(t, st)
+    lg_chunk, st_chunk = c.eval_sequence_in_chunks(prompt, 8)
+    np.testing.assert_allclose(np.asarray(lg_chunk), np.asarray(lg_serial),
+                               atol=5e-4, rtol=5e-4)
+    _state_allclose(st, st_chunk)

@@ -53,3 +53,24 @@ def test_pp_rejects_indivisible_layers():
     cfg = synth.make_config("7.0", n_vocab=512, n_embed=128, n_layer=6)
     with pytest.raises(Exception):
         PP.shard_params_pp(mesh, cfg, synth.random_params(cfg))
+
+
+def test_pp_single_token_step():
+    """T=1 through the pipeline (decode-style) matches single-device."""
+    mesh = _mesh_pp(4)
+    cfg = synth.make_config("7.0", n_vocab=512, n_embed=128, n_layer=8)
+    params_host = synth.random_params(cfg)
+    params = jax.tree.map(jnp.asarray, params_host)
+    B = 4
+    tokens = jnp.asarray([[1], [2], [3], [4]], jnp.int32)
+    lengths = jnp.ones((B,), jnp.int32)
+    state_b = G.batched_init_state(cfg, B)
+    ref_logits, _ = fwd.forward_seq(params, cfg, tokens, state_b, lengths)
+
+    pparams = PP.shard_params_pp(mesh, cfg, params_host)
+    state_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state_b)
+    pstate = PP.shard_state_pp(mesh, cfg, state_lm)
+    run = PP.make_pp_forward_seq(cfg, mesh, n_micro=2)
+    logits, _ = run(pparams, tokens, pstate, lengths)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=2e-4)

@@ -191,3 +191,16 @@ def test_host_and_device_penalties_agree(ctx):
         srv.run_until_done()
         outs.append(srv.result(sid))
     assert outs[0] == outs[1]
+
+
+def test_server_v4_model():
+    """The generic server machinery must handle v4's 5-vector state pytree
+    (aa/bb/pp carry the -1e30 max-trick slots) through device sampling."""
+    v4 = Context(fixture("tiny-rwkv-4v0-660K-FP32.bin"))
+    srv = Server(v4, max_streams=2)
+    a = srv.add(list(b'"in the'), GREEDY)
+    b = srv.add(list(b"Once"), GREEDY)
+    srv.run_until_done()
+    assert len(srv.result(a)) == 12 and len(srv.result(b)) == 12
+    solo = _solo_reference(v4, list(b'"in the'), 12)
+    assert srv.result(a) == solo
