@@ -86,9 +86,9 @@ def main():
         return tps
 
     bf16_tps = measure(params, "decode bf16 dense")
-    qparams = L.quantize_params_device(params)
+    qparams = L.quantize_params_device(params, merge_rkv=True)
     jax.block_until_ready(jax.tree.leaves(qparams))
-    decode_tps = measure(qparams, "decode int8 (Q8-class serving)")
+    decode_tps = measure(qparams, "decode int8 (Q8-class serving, fused rkv)")
 
     # throughput-oriented point (stderr only): larger batch
     B32 = 32

@@ -218,13 +218,23 @@ def _heads(x, H, S):
 # attention (time-mix) blocks
 # ---------------------------------------------------------------------------
 
+def _rkv(lp, xr, xk, xv):
+    """r/k/v projections: fused single-kernel path when the serving
+    quantizer merged them (quantize_params_device(merge_rkv=True)), else
+    three matmuls."""
+    if "att_rkv" in lp:
+        from rwkv_tpu.ops.linear import matmul_multi
+
+        return matmul_multi([xr, xk, xv], lp["att_rkv"])
+    return matmul(xr, lp["att_r"]), matmul(xk, lp["att_k"]), matmul(xv, lp["att_v"])
+
+
 def _att_v4(lp, x_ln, x_prev, st, valid, step=False):
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
     xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
-    r = jax.nn.sigmoid(matmul(xr, lp["att_r"]))
-    k = matmul(xk, lp["att_k"])
-    v = matmul(xv, lp["att_v"])
+    rr, k, v = _rkv(lp, xr, xk, xv)
+    r = jax.nn.sigmoid(rr)
     if step:
         wkv, (aa, bb, pp) = wkv_ops.wkv4_step(
             k, v, lp["time_first"], lp["time_decay"], st["aa"], st["bb"], st["pp"]
@@ -255,9 +265,8 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
     xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
-    r = _heads(matmul(xr, lp["att_r"]), H, S)
-    k = _heads(matmul(xk, lp["att_k"]), H, S)
-    v = _heads(matmul(xv, lp["att_v"]), H, S)
+    rr, kk_, vv_ = _rkv(lp, xr, xk, xv)
+    r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
     g = None
     if cfg.version_minor >= 2:
         xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
@@ -291,9 +300,8 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     xv = x_ln + (mv + lp["maa_v"]) * sx
     xr = x_ln + (mr + lp["maa_r"]) * sx
     xg = x_ln + (mg + lp["maa_g"]) * sx
-    r = _heads(matmul(xr, lp["att_r"]), H, S)
-    k = _heads(matmul(xk, lp["att_k"]), H, S)
-    v = _heads(matmul(xv, lp["att_v"]), H, S)
+    rr, kk_, vv_ = _rkv(lp, xr, xk, xv)
+    r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
     g = jax.nn.silu(matmul(xg, lp["att_gate"]))
     w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
     w = w + lp["decay_base"]
@@ -317,19 +325,17 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
     xxx = sx[None] * mix + x_ln[None]                           # (6, ..., T, E)
     xr, xw, xk, xv, xa, xg = xxx
 
-    r = matmul(xr, lp["att_r"])
+    r, k, v = _rkv(lp, xr, xk, xv)
     g = matmul(jax.nn.sigmoid(matmul(xg, lp["g1"])), lp["g2"])
     a = jax.nn.sigmoid(matmul(matmul(xa, lp["a1"]), lp["a2"]) + lp["a0"])
     w = matmul(jnp.tanh(matmul(xw, lp["w1"])), lp["w2"]) + lp["w0"]
     lw = jax.nn.sigmoid(w) * jnp.float32(-0.606531)  # log-decay, free for kernels
     w = jnp.exp(lw)
 
-    k = matmul(xk, lp["att_k"])
     kk = l2_norm_rows(_heads(k * lp["k_k"], H, S))
     ka = k * lp["k_a"]
     k = k + (a * ka - ka)
 
-    v = matmul(xv, lp["att_v"])
     v_resid = v + (v_first - v) * jax.nn.sigmoid(
         matmul(matmul(xv, lp["v1"]), lp["v2"]) + lp["v0"]
     )

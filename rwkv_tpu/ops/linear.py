@@ -250,6 +250,48 @@ def matmul(x, lin: Linear):
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
+def merge_qfast(lins: list) -> Linear:
+    """Concatenate N same-shaped qfast Linears (each (L, in, Eo)
+    contraction-major) along the output axis into one (L, in, N*Eo) Linear
+    for qmm_stacked_multi — one kernel pipeline per layer instead of N.
+    The codes/scales are byte-identical to the unmerged ones, so numerics
+    match the per-projection kernels exactly."""
+    assert all(l.kind == "qfast" and l.m is None for l in lins)
+    return Linear(
+        q=jnp.concatenate([l.q for l in lins], axis=-1),
+        d=jnp.concatenate([l.d for l in lins], axis=-1),
+        m=None, kind="qfast", fmt=lins[0].fmt,
+    )
+
+
+def matmul_multi(xs: list, lin: Linear):
+    """N projections with distinct inputs against merged weights: xs a list
+    of N arrays (..., in); lin a merged qfast Linear (L-stacked, indexed via
+    at_layer). Returns the list of N outputs (..., Eo)."""
+    n = len(xs)
+    lead = xs[0].shape[:-1]
+    x2 = [x.reshape(-1, x.shape[-1]) for x in xs]
+    if lin.kind == "qfast" and lin.layer is not None and jax.default_backend() == "tpu":
+        from rwkv_tpu.ops import qmm
+
+        y = qmm.qmm_stacked_multi(
+            jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
+    else:
+        # reference path: per-part slices (identical math)
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        eo = q.shape[-1] // n
+        g = group_of(lin.fmt)
+        from rwkv_tpu.ops import qmm
+
+        y = jnp.concatenate(
+            [qmm.qmm_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                               d[:, i * eo:(i + 1) * eo], group=g)
+             for i in range(n)], axis=-1)
+    eo = y.shape[-1] // n
+    return [y[..., i * eo:(i + 1) * eo].reshape(*lead, eo) for i in range(n)]
+
+
 def stack(lins: list) -> Linear:
     """Stack per-layer Linears into one with a leading layer axis.
 
@@ -333,7 +375,8 @@ def quantize_dense_w8a8_device(lin: Linear) -> Linear:
 
 
 def quantize_params_device(params, keys=None, mode: str = "block",
-                           consume: bool = False, head: bool = False) -> dict:
+                           consume: bool = False, head: bool = False,
+                           merge_rkv: bool = False) -> dict:
     """Quantize a param pytree's projection Linears to int8 on device.
 
     Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
@@ -373,6 +416,18 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
+    if merge_rkv and mode == "block":
+        # fuse the r/k/v projections (same in-dim, inputs available at the
+        # same point in the layer) into ONE kernel call per layer
+        # (qmm_stacked_multi) — amortizes per-pallas-call pipeline spin-up
+        # at decode batch sizes. Single-chip serving only: the TP sharding
+        # plan does not split merged weights (they replicate under a mesh).
+        rkv = [layers.get(k) for k in ("att_r", "att_k", "att_v")]
+        if all(isinstance(l, Linear) and l.kind == "qfast" and l.m is None
+               for l in rkv) and len({l.q.shape for l in rkv}) == 1:
+            layers["att_rkv"] = merge_qfast(rkv)
+            for k in ("att_r", "att_k", "att_v"):
+                del layers[k]
     out["layers"] = layers
     if head and isinstance(params.get("head"), Linear):
         from rwkv_tpu.ops import qmm

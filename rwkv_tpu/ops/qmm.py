@@ -215,6 +215,77 @@ def qmm_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32, tiles
     )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, dm)
 
 
+def _qmm_stacked_multi_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *,
+                              group, out_dtype):
+    # x block selected per output tile by the index map (which sub-matrix
+    # this tile belongs to); otherwise identical to _qmm_stacked_kernel
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    it, ot = q.shape
+    nb = it // group
+
+    def expand(s):
+        return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(it, ot)
+
+    w = q.astype(jnp.float32) * expand(d_ref[0])
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype", "tiles"))
+def qmm_stacked_multi(xs, q, d, layer, n_parts: int, group: int = QK,
+                      out_dtype=jnp.float32, tiles=None):
+    """N projections sharing one kernel pipeline: xs (N, T, in) — one input
+    per sub-matrix — against concatenated weights q (L, in, N*Eo), d
+    (L, in//group, N*Eo). The output tile's index map picks the matching
+    input, so the whole fused r/k/v (or r/k/v/g) projection streams through
+    ONE pallas_call per layer instead of N — amortizing the per-call
+    pipeline spin-up that shows up at decode batch sizes. Returns (T, N*Eo);
+    callers split along the last axis."""
+    n, t, inn = xs.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    _check_aligned(inn, out, group)
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(eo, tiles[0] if tiles else 512)   # tiles never span parts
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+    per = eo // OT  # output tiles per sub-matrix
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((1, TT, IT), lambda r, o, i, l, per=per: (o // per, r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_stacked_multi_kernel, group=group, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q, d)
+
+
 def qmm_reference(x, q, d, m=None, group: int = QK):
     """jnp fallback (CPU / non-TPU): identical math, XLA-fused."""
     inn, out = q.shape

@@ -115,3 +115,31 @@ def test_step_quantized_params():
     # int8 weights track dense logits closely on a tiny random model
     corr = np.corrcoef(np.asarray(l_dense).ravel(), np.asarray(l_q).ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_merged_rkv_matches_unmerged():
+    """quantize_params_device(merge_rkv=True) fuses r/k/v into one kernel
+    call; logits must equal the unmerged quantized path (identical codes)."""
+    import jax.numpy as jnp
+    from rwkv_tpu.models import synth, forward as F
+    from rwkv_tpu.ops import linear as L
+    from rwkv_tpu.runtime import generate as G
+
+    for ver in ("7.0", "6.0", "4.0"):
+        cfg = synth.make_config(ver, n_vocab=256, n_embed=128, n_layer=2)
+        params = jax.tree.map(jnp.asarray, synth.random_params(cfg))
+        q = L.quantize_params_device(params)
+        qm = L.quantize_params_device(params, merge_rkv=True)
+        assert "att_rkv" in qm["layers"] and "att_r" not in qm["layers"]
+
+        B = 2
+        state = G.batched_init_state(cfg, B)
+        toks = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+        lens = jnp.full((B,), 4, jnp.int32)
+        l1, s1 = F.forward_seq(q, cfg, toks, state, lens)
+        l2, s2 = F.forward_seq(qm, cfg, toks, state, lens)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5, rtol=1e-5)
+        # decode step path too
+        d1, _ = F.forward_step(q, cfg, toks[:, 0], s1, layer_major=False)
+        d2, _ = F.forward_step(qm, cfg, toks[:, 0], s2, layer_major=False)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5, rtol=1e-5)
