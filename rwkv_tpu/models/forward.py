@@ -229,6 +229,17 @@ def _rkv(lp, xr, xk, xv):
     return matmul(xr, lp["att_r"]), matmul(xk, lp["att_k"]), matmul(xv, lp["att_v"])
 
 
+def _rkvg(lp, xr, xk, xv, xg):
+    """r/k/v + gate (v5.2/v6): 4-way fused kernel when merged, else _rkv +
+    a separate gate matmul. Returns (r, k, v, gate_preact)."""
+    if "att_rkvg" in lp:
+        from rwkv_tpu.ops.linear import matmul_multi
+
+        return matmul_multi([xr, xk, xv, xg], lp["att_rkvg"])
+    r, k, v = _rkv(lp, xr, xk, xv)
+    return r, k, v, matmul(xg, lp["att_gate"])
+
+
 def _att_v4(lp, x_ln, x_prev, st, valid, step=False):
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
@@ -265,12 +276,14 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     xk = _lerp_mix(x_ln, x_prev, lp["att_mix_k"])
     xv = _lerp_mix(x_ln, x_prev, lp["att_mix_v"])
     xr = _lerp_mix(x_ln, x_prev, lp["att_mix_r"])
-    rr, kk_, vv_ = _rkv(lp, xr, xk, xv)
-    r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
-    g = None
     if cfg.version_minor >= 2:
         xg = _lerp_mix(x_ln, x_prev, lp["att_mix_g"])
-        g = jax.nn.silu(matmul(xg, lp["att_gate"]))
+        rr, kk_, vv_, gp = _rkvg(lp, xr, xk, xv, xg)
+        g = jax.nn.silu(gp)
+    else:
+        rr, kk_, vv_ = _rkv(lp, xr, xk, xv)
+        g = None
+    r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
     if step:
         out, heads = _wkv56_step_dispatch(r, k, v, lp["time_first"], lp["time_decay"], heads)
     else:
@@ -300,9 +313,9 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
     xv = x_ln + (mv + lp["maa_v"]) * sx
     xr = x_ln + (mr + lp["maa_r"]) * sx
     xg = x_ln + (mg + lp["maa_g"]) * sx
-    rr, kk_, vv_ = _rkv(lp, xr, xk, xv)
+    rr, kk_, vv_, gp = _rkvg(lp, xr, xk, xv, xg)
     r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
-    g = jax.nn.silu(matmul(xg, lp["att_gate"]))
+    g = jax.nn.silu(gp)
     w = matmul(jnp.tanh(matmul(xw, lp["decay_w1"])), lp["decay_w2"])
     w = w + lp["decay_base"]
     lw = -jnp.exp(w)          # log-decay, free for the fused kernel

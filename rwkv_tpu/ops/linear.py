@@ -417,16 +417,21 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     for k in keys:
         layers[k] = convert(layers[k])
     if merge_rkv and mode == "block":
-        # fuse the r/k/v projections (same in-dim, inputs available at the
-        # same point in the layer) into ONE kernel call per layer
-        # (qmm_stacked_multi) — amortizes per-pallas-call pipeline spin-up
-        # at decode batch sizes. Single-chip serving only: the TP sharding
-        # plan does not split merged weights (they replicate under a mesh).
-        rkv = [layers.get(k) for k in ("att_r", "att_k", "att_v")]
+        # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
+        # inputs available at the same point in the layer — into ONE kernel
+        # call per layer (qmm_stacked_multi), amortizing per-pallas-call
+        # pipeline spin-up at decode batch sizes. Single-chip serving only:
+        # the TP sharding plan does not split merged weights (they
+        # replicate under a mesh).
+        names = ["att_r", "att_k", "att_v"]
+        if isinstance(layers.get("att_gate"), Linear):
+            names.append("att_gate")
+        parts = [layers.get(k) for k in names]
         if all(isinstance(l, Linear) and l.kind == "qfast" and l.m is None
-               for l in rkv) and len({l.q.shape for l in rkv}) == 1:
-            layers["att_rkv"] = merge_qfast(rkv)
-            for k in ("att_r", "att_k", "att_v"):
+               for l in parts) and len({l.q.shape for l in parts}) == 1:
+            key = "att_rkvg" if len(names) == 4 else "att_rkv"
+            layers[key] = merge_qfast(parts)
+            for k in names:
                 del layers[k]
     out["layers"] = layers
     if head and isinstance(params.get("head"), Linear):

@@ -130,7 +130,8 @@ def test_merged_rkv_matches_unmerged():
         params = jax.tree.map(jnp.asarray, synth.random_params(cfg))
         q = L.quantize_params_device(params)
         qm = L.quantize_params_device(params, merge_rkv=True)
-        assert "att_rkv" in qm["layers"] and "att_r" not in qm["layers"]
+        merged_key = "att_rkvg" if "att_gate" in params["layers"] else "att_rkv"
+        assert merged_key in qm["layers"] and "att_r" not in qm["layers"]
 
         B = 2
         state = G.batched_init_state(cfg, B)
