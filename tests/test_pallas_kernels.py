@@ -135,7 +135,11 @@ def test_wkv7_fused_chunk_batched(chunk, head_block):
 
 
 def test_chunked_batched_matches_scan():
-    """XLA chunked batched fold (no vmap) vs the sequential batched scan."""
+    """XLA chunked batched fold (no vmap) vs the sequential batched scan.
+    On CPU the math is f32-exact (2e-4 band). On the real TPU the chunk
+    form's value dots run one-pass bf16 (like every f32 matmul at DEFAULT
+    precision), so outputs drift ~1% relative vs the scan — the same class
+    as the compiled fused kernels, gated here at the same 5e-2 band."""
     from rwkv_tpu.ops import wkv_chunked as wc
 
     rng = np.random.default_rng(12)
@@ -148,14 +152,15 @@ def test_chunked_batched_matches_scan():
     s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
     valid = jnp.stack([jnp.arange(T) < 64, jnp.arange(T) < 31, jnp.arange(T) < 1])
 
+    tol = 2e-4 if jax.default_backend() == "cpu" else 5e-2
     out_ref, st_ref = ref.wkv7_batched(r, w, k, v, -a, b, s0, valid)
     out_c, st_c = wc.wkv7_chunked_batched(r, w, k, v, -a, b, s0, valid, chunk=32)
     m = np.asarray(valid)[:, :, None, None]
     np.testing.assert_allclose(
         np.where(m, np.asarray(out_c), 0.0), np.where(m, np.asarray(out_ref), 0.0),
-        atol=2e-4, rtol=2e-4,
+        atol=tol, rtol=tol,
     )
-    np.testing.assert_allclose(np.asarray(st_c), np.asarray(st_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_c), np.asarray(st_ref), atol=tol, rtol=tol)
 
     # wkv6 batched fold
     tf = jnp.asarray(rng.uniform(0, 0.3, (H, S)), jnp.float32)
@@ -163,9 +168,9 @@ def test_chunked_batched_matches_scan():
     out6, st6 = wc.wkv6_chunked_batched(r, k, v, tf, w, s0, valid, chunk=32)
     np.testing.assert_allclose(
         np.where(m, np.asarray(out6), 0.0), np.where(m, np.asarray(out6_ref), 0.0),
-        atol=2e-4, rtol=2e-4,
+        atol=tol, rtol=tol,
     )
-    np.testing.assert_allclose(np.asarray(st6), np.asarray(st6_ref), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st6), np.asarray(st6_ref), atol=tol, rtol=tol)
 
 
 # ---------------------------------------------------------------------------
