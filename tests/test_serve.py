@@ -204,3 +204,40 @@ def test_server_v4_model():
     assert len(srv.result(a)) == 12 and len(srv.result(b)) == 12
     solo = _solo_reference(v4, list(b'"in the'), 12)
     assert srv.result(a) == solo
+
+
+def test_step_window_matches_stepwise(ctx):
+    """Windowed serving (N steps per dispatch) must produce exactly the
+    per-step device path's tokens, including penalties and stop handling."""
+    cfg = StreamConfig(temperature=0.0, max_new_tokens=14, stop_token=None,
+                       presence_penalty=1.0, frequency_penalty=0.5)
+    ref = Server(ctx, max_streams=2, seed=0)
+    a1 = ref.add(list(b'"in the'), cfg)
+    b1 = ref.add(list(b"Once"), cfg)
+    ref.run_until_done()
+
+    srv = Server(ctx, max_streams=2, seed=0)
+    a2 = srv.add(list(b'"in the'), cfg)
+    b2 = srv.add(list(b"Once"), cfg)
+    while srv.active_streams:
+        srv.step_window(4)
+    assert srv.result(a2) == ref.result(a1)
+    assert srv.result(b2) == ref.result(b1)
+
+
+def test_step_window_stop_token_truncates(ctx):
+    """A stream stopping mid-window discards its surplus tokens; the slot is
+    reusable at the window boundary."""
+    cfg = StreamConfig(temperature=0.0, logit_bias={7: 1e9}, max_new_tokens=50,
+                       stop_token=7)
+    srv = Server(ctx, max_streams=1, seed=0)
+    sid = srv.add([34, 105], cfg)
+    if not srv.is_done(sid):
+        srv.step_window(8)
+    assert srv.is_done(sid)
+    assert srv.result(sid)[-1] == 7
+    assert len(srv.result(sid)) <= 2
+    # slot reusable after the window
+    sid2 = srv.add([34], StreamConfig(temperature=0.0, max_new_tokens=3, stop_token=None))
+    srv.run_until_done()
+    assert len(srv.result(sid2)) == 3
