@@ -213,7 +213,9 @@ def test_generate_completions_cli():
         [sys.executable, "-m", "rwkv_tpu.tools.generate_completions", path,
          "--prompt", '"in the beginning', "--count", "1", "--tokens", "8",
          "--temperature", "0.0"],
-        capture_output=True, text=True, timeout=300, env=env,
+        # generous budget: the subprocess cold-starts jax (~30-60 s) and the
+        # suite may be sharing the machine with a TPU bench — 300 s flaked
+        capture_output=True, text=True, timeout=900, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr[-2000:]
