@@ -250,6 +250,19 @@ def matmul(x, lin: Linear):
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
+def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
+    """True when a merged Linear tiles cleanly for qmm_stacked_multi: the
+    overall dims must satisfy the kernel's alignment AND each sub-matrix's
+    out-dim must fill whole 128-lane tiles (output tiles never span parts)."""
+    from rwkv_tpu.ops import qmm
+
+    inn, out = lin.shape
+    g = group_of(lin.fmt)
+    if out % n_parts or (out // n_parts) % 128:
+        return False
+    return qmm.aligned_for_kernel(inn, out, g)
+
+
 def merge_qfast(lins: list) -> Linear:
     """Concatenate N same-shaped qfast Linears (each (L, in, Eo)
     contraction-major) along the output axis into one (L, in, N*Eo) Linear
@@ -271,9 +284,15 @@ def matmul_multi(xs: list, lin: Linear):
     n = len(xs)
     lead = xs[0].shape[:-1]
     x2 = [x.reshape(-1, x.shape[-1]) for x in xs]
-    if lin.kind == "qfast" and lin.layer is not None and jax.default_backend() == "tpu":
-        from rwkv_tpu.ops import qmm
+    from rwkv_tpu.ops import qmm
 
+    inn, out = lin.shape
+    use_kernel = (
+        lin.layer is not None
+        and jax.default_backend() == "tpu"
+        and multi_aligned_for_kernel(lin, n)
+    )
+    if lin.kind == "qfast" and use_kernel:
         y = qmm.qmm_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
     else:
@@ -282,8 +301,6 @@ def matmul_multi(xs: list, lin: Linear):
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         eo = q.shape[-1] // n
         g = group_of(lin.fmt)
-        from rwkv_tpu.ops import qmm
-
         y = jnp.concatenate(
             [qmm.qmm_reference(x2[i], q[:, i * eo:(i + 1) * eo],
                                d[:, i * eo:(i + 1) * eo], group=g)
@@ -429,10 +446,16 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         parts = [layers.get(k) for k in names]
         if all(isinstance(l, Linear) and l.kind == "qfast" and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
-            key = "att_rkvg" if len(names) == 4 else "att_rkv"
-            layers[key] = merge_qfast(parts)
-            for k in names:
-                del layers[k]
+            merged = merge_qfast(parts)
+            # only merge when the fused kernel can actually run it — an
+            # unaligned merge would raise at trace time inside matmul_multi
+            # (the single-projection path falls back to qmm_reference;
+            # keeping the parts separate gives the merge the same grace)
+            if multi_aligned_for_kernel(merged, len(names)):
+                key = "att_rkvg" if len(names) == 4 else "att_rkv"
+                layers[key] = merged
+                for k in names:
+                    del layers[k]
     out["layers"] = layers
     if head and isinstance(params.get("head"), Linear):
         from rwkv_tpu.ops import qmm

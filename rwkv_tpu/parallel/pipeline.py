@@ -163,6 +163,13 @@ def make_pp_forward_seq(cfg: ModelConfig, mesh: Mesh, n_micro: int | None = None
         return logits, new_state
 
     def run(params, tokens, state, lengths):
+        if tokens.shape[0] % M:
+            from rwkv_tpu.runtime.errors import RWKVArgsError
+
+            raise RWKVArgsError(
+                f"batch size {tokens.shape[0]} must be divisible by "
+                f"n_micro ({M}) for the pipeline microbatch schedule"
+            )
         layers = params["layers"]
         lspecs = _layers_specs(layers)
         state_specs = {

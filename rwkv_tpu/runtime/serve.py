@@ -24,7 +24,9 @@ Windowed serving (`step_window(n)`): n decode+sample steps in ONE dispatch,
 with stop/max bookkeeping applied after the window — measured 3x serving
 throughput on the axon-relay chip (608 -> 1833 tok/s, B=32 sampled streams
 with penalties) at a join-latency cost of <= n steps. Token-for-token equal
-to the per-step path.
+to the per-step path, including sampled (temperature > 0) streams: the
+window derives step i's PRNG key as fold_in(base_key, step_no + i), exactly
+what per-step serving uses.
 """
 
 from __future__ import annotations
@@ -110,10 +112,15 @@ def serve_step(params, cfg, last_tok, state, counts, active,
 
 @partial(jax.jit, static_argnames=("cfg", "top_k", "steps"))
 def serve_window(params, cfg, last_tok, state, counts, active,
-                 temps, top_ps, presence, freq, bias, key, steps: int,
+                 temps, top_ps, presence, freq, bias, key, step0, steps: int,
                  top_k: int = 512):
     """`steps` lockstep decode+sample steps in ONE dispatch (lax.scan over
     the serve_step body). Returns (toks (steps, B), state, counts).
+
+    `key` is the server's BASE key and `step0` the global step counter: step
+    i uses fold_in(key, step0 + i) — the exact key the per-step path
+    (Server._step_device) would use, so sampled streams (any temperature)
+    are token-for-token identical to per-step serving.
 
     The host applies stop-token / max_new_tokens bookkeeping AFTER the
     window: a stream that stops mid-window keeps decoding to the window end
@@ -128,7 +135,8 @@ def serve_window(params, cfg, last_tok, state, counts, active,
                                         k, top_k)
         return (tok, st, cnt), tok
 
-    keys = jax.random.split(key, steps)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        step0 + jnp.arange(steps, dtype=jnp.int32))
     (tok, state, counts), toks = jax.lax.scan(
         body, (last_tok, state, counts), keys)
     return toks, state, counts
@@ -328,12 +336,12 @@ class Server:
         if not self.on_device:
             raise RWKVArgsError("step_window requires on_device sampling")
         active, temps, top_ps, presence, freq, bias = self._slot_config_arrays()
-        key = jax.random.fold_in(self._key, self._step_no)
+        step0 = jnp.int32(self._step_no)
         self._step_no += steps
         toks, self._state, self._counts = serve_window(
             self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
-            self._counts, active, temps, top_ps, presence, freq, bias, key,
-            steps=steps, top_k=self.top_k,
+            self._counts, active, temps, top_ps, presence, freq, bias,
+            self._key, step0, steps=steps, top_k=self.top_k,
         )
         toks_np = np.asarray(toks)                   # (steps, B)
         out = {}

@@ -206,11 +206,15 @@ def test_server_v4_model():
     assert srv.result(a) == solo
 
 
-def test_step_window_matches_stepwise(ctx):
+@pytest.mark.parametrize("temperature", [0.0, 1.2])
+def test_step_window_matches_stepwise(ctx, temperature):
     """Windowed serving (N steps per dispatch) must produce exactly the
-    per-step device path's tokens, including penalties and stop handling."""
-    cfg = StreamConfig(temperature=0.0, max_new_tokens=14, stop_token=None,
-                       presence_penalty=1.0, frequency_penalty=0.5)
+    per-step device path's tokens — greedy AND sampled (the window derives
+    fold_in(base_key, step_no + i) per step, the per-step path's exact key
+    schedule) — including penalties and stop handling."""
+    cfg = StreamConfig(temperature=temperature, top_p=0.9, max_new_tokens=14,
+                       stop_token=None, presence_penalty=1.0,
+                       frequency_penalty=0.5)
     ref = Server(ctx, max_streams=2, seed=0)
     a1 = ref.add(list(b'"in the'), cfg)
     b1 = ref.add(list(b"Once"), cfg)
