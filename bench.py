@@ -1,18 +1,20 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
 Headline: decode throughput (tokens/sec/chip) on an RWKV-7 World 1.5B-class
-config (L24 D2048 H32 S64), int8 weight-quantized serving (Q8-class: codes +
+config (L24 D2048 H32 S64), int4 weight-quantized serving (packed nibbles +
 per-32 scales in HBM, fused dequant-matmul Pallas kernels, emb/head kept
 dense per the reference's quantization policy), batch of 8 independent
 streams, whole decode loop on device (runtime/generate.py).
 
-vs_baseline compares against the reference's RWKV-4 1.5B Q8_0 CPU latency
-(89 ms/token -> 11.24 tok/s, README.md:29 / BASELINE.md) — the closest
-published quantized 1.5B-class number the reference ships. No real
-checkpoints are fetchable in this environment (zero egress), so weights are
-synthetic; throughput does not depend on weight values.
+vs_baseline compares against the reference's RWKV-4 1.5B Q4_0 CPU latency
+(76 ms/token -> 13.16 tok/s, README.md:25 / BASELINE.md) — the reference's
+own 4-bit 1.5B-class number. No real checkpoints are fetchable in this
+environment (zero egress), so weights are synthetic; throughput does not
+depend on weight values.
 
-Extra metrics go to stderr so stdout stays a single JSON line.
+Extra metrics go to stderr so stdout stays a single JSON line: int8 and bf16
+decode points, large-batch decode, prefill, continuous-batching serving
+(steady-state + join latency), and a 7B-class int4 decode point.
 """
 
 import json
@@ -27,19 +29,100 @@ HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth
 
 def _step_traffic_bytes(params, cfg, batch):
     """HBM bytes one decode step must move: every weight once (decode is
-    weight-streaming-bound) + recurrent state read+write."""
-    import jax
-    import numpy as np
+    weight-streaming-bound) EXCEPT the embedding table, of which a step
+    gathers exactly `batch` rows — plus recurrent state read+write.
 
+    (Round-2's version counted the full embedding table — 268 MB bf16 on the
+    1.5B config — inflating the achieved-%%-of-peak claim by ~12%%; see
+    VERDICT.md round 2, weak #1.)
+    """
+    import jax
+
+    emb = params["emb"]
+    emb_id = id(emb)
     weight_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
-        if hasattr(x, "size") and x.size > 1 << 16
+        if hasattr(x, "size") and x.size > 1 << 16 and id(x) != emb_id
     )
+    emb_bytes = batch * emb.shape[-1] * emb.dtype.itemsize
     if cfg.version_major >= 5:
         state_elems = cfg.n_layer * (2 * cfg.n_embed + cfg.head_count * cfg.head_size ** 2)
     else:
         state_elems = cfg.n_layer * 5 * cfg.n_embed
-    return weight_bytes + 2 * batch * state_elems * 4
+    return weight_bytes + emb_bytes + 2 * batch * state_elems * 4
+
+
+def _measure_decode(params, cfg, state, tok0, B, steps, reps, label):
+    import jax
+
+    from rwkv_tpu.runtime import generate as G
+
+    # NOTE: block_until_ready is unreliable over the axon relay (returns
+    # before execution completes); jax.device_get of the result is the
+    # honest barrier.
+    t0 = time.time()
+    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+    _ = jax.device_get(toks)
+    print(f"{label}: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for _i in range(reps):
+        toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+    _ = jax.device_get(toks)
+    dt = (time.time() - t0) / reps
+    tps = B * steps / dt
+    gbs = _step_traffic_bytes(params, cfg, B) / (dt / steps) / 1e9
+    print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step; "
+          f"{gbs:.0f} GB/s achieved = {100*gbs/HBM_PEAK_GBS:.0f}% of "
+          f"{HBM_PEAK_GBS:.0f} GB/s HBM peak)", file=sys.stderr)
+    return tps
+
+
+def _bench_serving(ctx_params, cfg):
+    """Continuous-batching serving: B=32 sampled streams with penalties,
+    windowed dispatch — steady-state throughput + join-to-first-token."""
+    import jax
+
+    from rwkv_tpu.runtime.context import Context
+    from rwkv_tpu.runtime.serve import Server, StreamConfig
+
+    ctx = Context.__new__(Context)
+    ctx.cfg = cfg
+    ctx._params = ctx_params
+    ctx._jit_cache = {}
+    ctx.parity = False
+    ctx.model_path = "<synthetic>"
+
+    B = 32
+    srv = Server(ctx, max_streams=B, seed=0)
+    scfg = StreamConfig(temperature=1.0, top_p=0.9, presence_penalty=0.4,
+                        frequency_penalty=0.4, max_new_tokens=10**9,
+                        stop_token=None)
+    rng = np.random.default_rng(0)
+    for _ in range(B):
+        srv.add(rng.integers(0, cfg.n_vocab, size=32).tolist(), scfg)
+    # warm the windowed step (compile)
+    t0 = time.time()
+    srv.step_window(16)
+    print(f"serving: window compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    n = 0
+    for _ in range(8):
+        out = srv.step_window(16)
+        n += sum(len(v) for v in out.values())
+    dt = time.time() - t0
+    print(f"serving steady-state: {n/dt:.1f} tok/s "
+          f"(B={B} sampled streams, penalties, window 16)", file=sys.stderr)
+
+    # join-to-first-token: evict one stream, time a fresh 512-token join
+    victim = next(iter(srv._by_slot.values()))
+    srv._finish(victim)
+    prompt = rng.integers(0, cfg.n_vocab, size=512).tolist()
+    t0 = time.time()
+    srv.add(prompt, scfg)  # prefill (chunked) + first sampled token
+    join_ms = 1000 * (time.time() - t0)
+    print(f"serving join-to-first-token (512-token prompt, warm): "
+          f"{join_ms:.0f} ms", file=sys.stderr)
+    return n / dt, join_ms
 
 
 def main():
@@ -66,42 +149,30 @@ def main():
     steps = 64
     reps = 3
 
-    # NOTE: block_until_ready is unreliable over the axon relay (returns before
-    # execution completes); jax.device_get of the result is the honest barrier.
-    def measure(p, label):
-        t0 = time.time()
-        toks, _ = G.greedy_decode(p, cfg, tok0, state, steps=steps)
-        _ = jax.device_get(toks)
-        print(f"{label}: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
-        t0 = time.time()
-        for _i in range(reps):
-            toks, _ = G.greedy_decode(p, cfg, tok0, state, steps=steps)
-        _ = jax.device_get(toks)
-        dt = (time.time() - t0) / reps
-        tps = B * steps / dt
-        gbs = _step_traffic_bytes(p, cfg, B) / (dt / steps) / 1e9
-        print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step; "
-              f"{gbs:.0f} GB/s achieved = {100*gbs/HBM_PEAK_GBS:.0f}% of "
-              f"{HBM_PEAK_GBS:.0f} GB/s HBM peak)", file=sys.stderr)
-        return tps
+    bf16_tps = _measure_decode(params, cfg, state, tok0, B, steps, reps,
+                               "decode bf16 dense")
+    q8 = L.quantize_params_device(params, merge_rkv=True)
+    jax.block_until_ready(jax.tree.leaves(q8))
+    int8_tps = _measure_decode(q8, cfg, state, tok0, B, steps, reps,
+                               "decode int8 (Q8-class serving, fused rkv)")
+    del q8
+    q4 = L.quantize_params_device(params, mode="int4", merge_rkv=True)
+    jax.block_until_ready(jax.tree.leaves(q4))
+    decode_tps = _measure_decode(q4, cfg, state, tok0, B, steps, reps,
+                                 "decode int4 (packed-nibble serving, fused rkv)")
 
-    bf16_tps = measure(params, "decode bf16 dense")
-    qparams = L.quantize_params_device(params, merge_rkv=True)
-    jax.block_until_ready(jax.tree.leaves(qparams))
-    decode_tps = measure(qparams, "decode int8 (Q8-class serving, fused rkv)")
-
-    # throughput-oriented point (stderr only): larger batch
+    # throughput-oriented point (stderr only): larger batch, int4
     B32 = 32
     state32 = G.batched_init_state(cfg, B32)
     tok32 = jnp.zeros((B32,), jnp.int32)
-    toks, _ = G.greedy_decode(qparams, cfg, tok32, state32, steps=steps)
+    toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
     _ = jax.device_get(toks)
     t0 = time.time()
     for _i in range(reps):
-        toks, _ = G.greedy_decode(qparams, cfg, tok32, state32, steps=steps)
+        toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
     _ = jax.device_get(toks)
     dt32 = (time.time() - t0) / reps
-    print(f"decode int8 batch 32: {B32*steps/dt32:.1f} tok/s "
+    print(f"decode int4 batch 32: {B32*steps/dt32:.1f} tok/s "
           f"({1000*dt32/steps:.2f} ms/step)", file=sys.stderr)
     del state32
 
@@ -109,6 +180,7 @@ def main():
     T = 512
     ptoks = jnp.zeros((B, T), jnp.int32)
     plens = jnp.full((B,), T, jnp.int32)
+
     def measure_prefill(p, label):
         logits, _ = G.prefill(p, cfg, ptoks, state, plens)
         _ = jax.device_get(logits)
@@ -120,15 +192,29 @@ def main():
         print(f"prefill {label}: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
 
     measure_prefill(params, "bf16")
-    w8 = L.quantize_params_device(params, mode="w8a8")
-    jax.block_until_ready(jax.tree.leaves(w8))
-    # measured ~1.06x bf16 FLOPs on v5e (not 2x) — capacity mode, see docs/KERNELS.md
-    measure_prefill(w8, "w8a8 (s8 MXU dots)")
-    print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s", file=sys.stderr)
 
-    baseline_tps = 1000.0 / 89.0  # reference RWKV-4 1.5B Q8_0, ms/token -> tok/s
+    # continuous-batching serving benchmark (the product surface)
+    _bench_serving(q4, cfg)
+    del q4
+
+    # 7B-class int4 point (stderr only): synthesized directly as packed codes
+    cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
+    t0 = time.time()
+    p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
+                                    quantize="int4")
+    jax.block_until_ready(jax.tree.leaves(p7))
+    print(f"7B-class int4 params built in {time.time()-t0:.1f}s", file=sys.stderr)
+    state7 = G.batched_init_state(cfg7, B)
+    _measure_decode(p7, cfg7, state7, tok0, B, steps, reps,
+                    "decode 7B-class int4")
+    del p7, state7
+
+    print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s; "
+          f"int8: {int8_tps:.1f} tok/s", file=sys.stderr)
+
+    baseline_tps = 1000.0 / 76.0  # reference RWKV-4 1.5B Q4_0, ms/token -> tok/s
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class int8-quantized serving, batch 8, on-device loop)",
+        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class int4 packed-nibble serving, batch 8, on-device loop)",
         "value": round(decode_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(decode_tps / baseline_tps, 2),

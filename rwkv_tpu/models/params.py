@@ -130,6 +130,16 @@ class _Source:
         ty = self.dtype_name(key)
         if self.nf and not parity and ty not in ("FP32", "FP16"):
             q, d, m = self.nf.to_codes(key)  # row-major (out, in)/(out, nb)
+            if L.i4_packable(ty):
+                from rwkv_tpu.ops import qmm
+
+                return L.Linear(
+                    q=qmm.pack_i4(q.T, bias=L.i4_bias(ty)),
+                    d=np.ascontiguousarray(d.T),
+                    m=None if m is None else np.ascontiguousarray(m.T),
+                    kind="q4fast",
+                    fmt=ty,
+                )
             return L.Linear(
                 q=np.ascontiguousarray(q.T),
                 d=np.ascontiguousarray(d.T),

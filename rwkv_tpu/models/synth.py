@@ -54,14 +54,16 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
 
     quantize='int8' synthesizes the big projections directly as int8 qfast
     Linears (codes + per-32-block scales) — never materializing a dense
-    copy, so 7B-class configs fit one 16 GB chip. (Real deployments get this
-    layout for free by loading an already-quantized model file.)"""
+    copy, so 7B-class configs fit one 16 GB chip. quantize='int4' likewise
+    synthesizes packed-nibble q4fast Linears (0.5 bytes/element). (Real
+    deployments get these layouts for free by loading an already-quantized
+    model file.)"""
     import jax
     import jax.numpy as jnp
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
-    if quantize == "int8":
+    if quantize in ("int8", "int4"):
         import math
 
         from rwkv_tpu.ops.linear import Linear
@@ -75,10 +77,19 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                 continue
             L_, inn, out = lin.w.shape
             kq = jax.random.fold_in(jax.random.PRNGKey(seed), 1000 + i)
-            q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
-            # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)
-            d = jnp.full((L_, inn // 32, out), 0.5 / math.sqrt(inn) / 73.0, jnp.float32)
-            layers[k] = Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
+            if quantize == "int4":
+                # two uniform nibbles per byte; unpacked codes-8 have std
+                # ~4.6; d sets w_eff std to 0.5/sqrt(in)
+                q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
+                                       jnp.int32).astype(jnp.uint8)
+                d = jnp.full((L_, inn // 32, out),
+                             0.5 / math.sqrt(inn) / 4.6, jnp.float32)
+                layers[k] = Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
+            else:
+                q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
+                # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)
+                d = jnp.full((L_, inn // 32, out), 0.5 / math.sqrt(inn) / 73.0, jnp.float32)
+                layers[k] = Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
         host = dict(host)
         host["layers"] = layers
 

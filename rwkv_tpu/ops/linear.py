@@ -13,6 +13,16 @@ A `Linear` is a pytree-registered dataclass holding one of three representations
                             SURVEY.md §2.2)
                     fast:   fused dequant-matmul (Pallas on TPU; jnp dequant
                             fallback elsewhere)
+  kind='qfast'  — q: (in, out) int8 contraction-major codes (1 byte/element),
+                  d/m: (in/g, out) f32. Serving representation for 8-bit-class
+                  formats; feeds ops/qmm.py's fused kernels.
+  kind='q4fast' — q: (in/2, out) uint8 half-split packed nibbles (0.5
+                  bytes/element on the HBM bus — the reference's sub-byte
+                  story, rwkv_file_format.inc:5-24), d/m: (in/g, out) f32.
+                  Serving representation for 4-bit-class formats
+                  (Q4_0/Q4_1 files, on-device 'int4' quantization); feeds
+                  ops/qmm.py's qmm_i4* kernels. value = (code - bias)*d (+ m)
+                  with bias derived from fmt (i4_bias).
 
 Weights with a leading layer dimension (stacked for lax.scan over layers) work
 transparently: scan slices each leaf per layer.
@@ -55,6 +65,9 @@ class Linear:
         if self.kind in ("qfast", "w8a8"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
+        if self.kind == "q4fast":           # q is (in/2, out) packed nibbles
+            *_, inn2, o = self.q.shape
+            return (2 * inn2, o)
         return self.w.shape[-2:]
 
 
@@ -78,6 +91,19 @@ def _take_layer(a, idx):
 def group_of(fmt: str) -> int:
     """Sub-block granularity of a quant format's scales (elements per scale)."""
     return 16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32
+
+
+# code bias of 4-bit-class formats once packed unsigned: value = (code-bias)*d
+_I4_BIAS = {"Q4_0": 8, "INT4": 8, "Q4_1": 0, "Q4_K": 0}
+
+
+def i4_bias(fmt: str) -> int:
+    return _I4_BIAS[fmt]
+
+
+def i4_packable(fmt: str) -> bool:
+    """Formats whose normalized codes fit an unsigned nibble (after bias)."""
+    return fmt in _I4_BIAS
 
 
 def fast_dense_dtype(parity: bool):
@@ -121,9 +147,23 @@ def from_record(rec, parity: bool, dense_dtype=None) -> Linear:
         w = qcodec.dequantize(rec.type_name, rec.data, (out, inn)).T
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if not parity:
-        # fast path: codes stay packed (int8) in HBM, contraction-major
-        # (in, out) so ops/qmm.py needs no transposes; matmul runs through
-        # the fused dequant-matmul kernel on TPU
+        # fast path: codes stay quantized in HBM, contraction-major (in, out)
+        # so ops/qmm.py needs no transposes; matmul runs through the fused
+        # dequant-matmul kernels on TPU. 4-bit-class formats pack two codes
+        # per byte (half-split nibbles) so the bus traffic matches the
+        # format's bit-width — the reference's whole value proposition
+        # (Q4_0 smaller AND faster than Q8_0, README.md:25-31).
+        fmt = rec.type_name
+        if i4_packable(fmt):
+            from rwkv_tpu.ops import qmm
+
+            return Linear(
+                q=qmm.pack_i4(q.reshape(out, inn).T, bias=i4_bias(fmt)),
+                d=np.ascontiguousarray(d.reshape(out, nb).T),
+                m=None if m is None else np.ascontiguousarray(m.reshape(out, nb).T),
+                kind="q4fast",
+                fmt=fmt,
+            )
         return Linear(
             q=np.ascontiguousarray(q.reshape(out, inn).T),
             d=np.ascontiguousarray(d.reshape(out, nb).T),
@@ -184,7 +224,7 @@ def _matmul_quant_parity(x, lin: Linear):
 
 def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32."""
-    if x.ndim > 2 and lin.kind in ("quant", "qfast"):
+    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
@@ -247,33 +287,59 @@ def matmul(x, lin: Linear):
         if use_kernel:
             return qmm.qmm(x, lin.q, lin.d, lin.m, group=g)
         return qmm.qmm_reference(x, lin.q, lin.d, lin.m, group=g)
+    if lin.kind == "q4fast":
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        b = i4_bias(lin.fmt)
+        inn, out = lin.shape
+        use_kernel = (
+            jax.default_backend() == "tpu" and qmm.aligned_i4(inn, out, g)
+        )
+        if lin.layer is not None:
+            if use_kernel:
+                return qmm.qmm_i4_stacked(x, lin.q, lin.d, lin.m, lin.layer,
+                                          bias=b, group=g)
+            return qmm.qmm_i4_reference(
+                x, _take_layer(lin.q, lin.layer), _take_layer(lin.d, lin.layer),
+                None if lin.m is None else _take_layer(lin.m, lin.layer),
+                bias=b, group=g,
+            )
+        if use_kernel:
+            return qmm.qmm_i4(x, lin.q, lin.d, lin.m, bias=b, group=g)
+        return qmm.qmm_i4_reference(x, lin.q, lin.d, lin.m, bias=b, group=g)
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
 def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
-    """True when a merged Linear tiles cleanly for qmm_stacked_multi: the
-    overall dims must satisfy the kernel's alignment AND each sub-matrix's
-    out-dim must fill whole 128-lane tiles (output tiles never span parts)."""
+    """True when a merged Linear tiles cleanly for qmm_stacked_multi /
+    qmm_i4_stacked_multi: the overall dims must satisfy the kernel's
+    alignment AND each sub-matrix's out-dim must fill whole 128-lane tiles
+    (output tiles never span parts)."""
     from rwkv_tpu.ops import qmm
 
     inn, out = lin.shape
     g = group_of(lin.fmt)
     if out % n_parts or (out // n_parts) % 128:
         return False
+    if lin.kind == "q4fast":
+        return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
 
 
 def merge_qfast(lins: list) -> Linear:
-    """Concatenate N same-shaped qfast Linears (each (L, in, Eo)
-    contraction-major) along the output axis into one (L, in, N*Eo) Linear
-    for qmm_stacked_multi — one kernel pipeline per layer instead of N.
-    The codes/scales are byte-identical to the unmerged ones, so numerics
-    match the per-projection kernels exactly."""
-    assert all(l.kind == "qfast" and l.m is None for l in lins)
+    """Concatenate N same-shaped qfast/q4fast Linears (each (L, in, Eo)
+    contraction-major; q4fast packs the in axis) along the output axis into
+    one (L, in, N*Eo) Linear for qmm_stacked_multi / qmm_i4_stacked_multi —
+    one kernel pipeline per layer instead of N. The codes/scales are
+    byte-identical to the unmerged ones, so numerics match the
+    per-projection kernels exactly."""
+    kind = lins[0].kind
+    assert all(l.kind == kind and l.m is None for l in lins)
     return Linear(
         q=jnp.concatenate([l.q for l in lins], axis=-1),
         d=jnp.concatenate([l.d for l in lins], axis=-1),
-        m=None, kind="qfast", fmt=lins[0].fmt,
+        m=None, kind=kind, fmt=lins[0].fmt,
     )
 
 
@@ -292,7 +358,11 @@ def matmul_multi(xs: list, lin: Linear):
         and jax.default_backend() == "tpu"
         and multi_aligned_for_kernel(lin, n)
     )
-    if lin.kind == "qfast" and use_kernel:
+    if lin.kind == "q4fast" and use_kernel:
+        y = qmm.qmm_i4_stacked_multi(
+            jnp.stack(x2), lin.q, lin.d, lin.layer, n,
+            bias=i4_bias(lin.fmt), group=group_of(lin.fmt))
+    elif lin.kind == "qfast" and use_kernel:
         y = qmm.qmm_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
     else:
@@ -301,10 +371,17 @@ def matmul_multi(xs: list, lin: Linear):
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         eo = q.shape[-1] // n
         g = group_of(lin.fmt)
-        y = jnp.concatenate(
-            [qmm.qmm_reference(x2[i], q[:, i * eo:(i + 1) * eo],
-                               d[:, i * eo:(i + 1) * eo], group=g)
-             for i in range(n)], axis=-1)
+        if lin.kind == "q4fast":
+            b = i4_bias(lin.fmt)
+            y = jnp.concatenate(
+                [qmm.qmm_i4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                      d[:, i * eo:(i + 1) * eo], bias=b, group=g)
+                 for i in range(n)], axis=-1)
+        else:
+            y = jnp.concatenate(
+                [qmm.qmm_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                   d[:, i * eo:(i + 1) * eo], group=g)
+                 for i in range(n)], axis=-1)
     eo = y.shape[-1] // n
     return [y[..., i * eo:(i + 1) * eo].reshape(*lead, eo) for i in range(n)]
 
@@ -317,11 +394,11 @@ def stack(lins: list) -> Linear:
     """
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
-    if len(kinds) > 1 or (kinds <= {"quant", "qfast"} and len(fmts) > 1):
+    if len(kinds) > 1 or (kinds <= {"quant", "qfast", "q4fast"} and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
     k = lins[0].kind
-    if k in ("quant", "qfast"):
+    if k in ("quant", "qfast", "q4fast"):
         return Linear(
             q=np.stack([l.q for l in lins]),
             d=np.stack([l.d for l in lins]),
@@ -360,6 +437,40 @@ def quantize_dense_device(lin: Linear, group: int = 32) -> Linear:
 
     q, d = _q(lin.w)
     return Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
+
+
+def quantize_dense_i4_device(lin: Linear, group: int = 32) -> Linear:
+    """Dense Linear -> packed 4-bit Linear (kind='q4fast', fmt='INT4'),
+    computed on device under jit.
+
+    Symmetric per-`group` absmax scaling: d = absmax/7, code =
+    clip(round(w/d), -8, 7) + 8, two codes packed per byte (half-split).
+    This is the sub-byte serving mode the reference's Q4 formats embody:
+    weights stream at 0.5 bytes/element — ~1.8x less decode HBM traffic
+    than int8 (codes+scales 0.625 vs 1.125 B/elem), and decode is
+    weight-streaming-bound. Quality sits in the Q4_0/Q4_1 band (round-to-
+    nearest, vs ggml Q4_0's truncation — slightly tighter)."""
+    if lin.kind == "q4fast":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        d = amax / jnp.float32(7.0)
+        inv = jnp.where(d > 0, 1.0 / d, 0.0)
+        q = jnp.clip(jnp.round(b * inv[..., None, :]), -8, 7) + 8
+        q = q.astype(jnp.uint8).reshape(*lead, inn, o)
+        lo = q[..., : inn // 2, :]
+        hi = q[..., inn // 2 :, :]
+        return lo | (hi << 4), d
+
+    q, d = _q(lin.w)
+    return Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
 
 
 def quantize_dense_w8a8_device(lin: Linear) -> Linear:
@@ -404,8 +515,10 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     saves at 8 logit rows; docs/KERNELS.md "measured dead ends"), so the
     default matches the reference policy; it can win for memory-capacity-
     bound deployments. `keys` overrides the layer-Linear selection.
-    mode: 'block' (per-32-block scales, fused dequant kernels) or 'w8a8'
-    (per-channel scales, native int8 MXU matmuls).
+    mode: 'block' (int8, per-32-block scales, fused dequant kernels), 'int4'
+    (packed nibbles, per-32-block scales — half of 'block's weight traffic,
+    the sub-byte serving mode) or 'w8a8' (per-channel scales, native int8
+    MXU matmuls).
     consume=True frees each dense HBM buffer as it is converted — required
     to quantize models whose dense + quantized copies don't fit HBM together
     (e.g. a 7B bf16 model on one 16 GB chip). The input pytree's converted
@@ -413,6 +526,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     """
     quantize_one = {
         "block": quantize_dense_device,
+        "int4": quantize_dense_i4_device,
         "w8a8": quantize_dense_w8a8_device,
     }[mode]
 
@@ -433,36 +547,41 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
-    if merge_rkv and mode == "block":
+    if merge_rkv and mode in ("block", "int4"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
-        # call per layer (qmm_stacked_multi), amortizing per-pallas-call
-        # pipeline spin-up at decode batch sizes. Single-chip serving only:
-        # the TP sharding plan does not split merged weights (they
-        # replicate under a mesh).
+        # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
+        # amortizing per-pallas-call pipeline spin-up at decode batch sizes.
+        # Single-chip serving only: the TP sharding plan does not split
+        # merged weights (they replicate under a mesh).
         names = ["att_r", "att_k", "att_v"]
         if isinstance(layers.get("att_gate"), Linear):
             names.append("att_gate")
         parts = [layers.get(k) for k in names]
-        if all(isinstance(l, Linear) and l.kind == "qfast" and l.m is None
+        want_kind = "q4fast" if mode == "int4" else "qfast"
+        if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
-            merged = merge_qfast(parts)
-            # only merge when the fused kernel can actually run it — an
-            # unaligned merge would raise at trace time inside matmul_multi
-            # (the single-projection path falls back to qmm_reference;
-            # keeping the parts separate gives the merge the same grace)
-            if multi_aligned_for_kernel(merged, len(names)):
-                key = "att_rkvg" if len(names) == 4 else "att_rkv"
-                layers[key] = merged
-                for k in names:
-                    del layers[k]
+            # merging is always safe: matmul_multi gates the fused kernel on
+            # multi_aligned_for_kernel and otherwise evaluates the merged
+            # weights per-part through the reference path (identical math,
+            # same cost as unmerged — unaligned dims can't use the
+            # per-projection kernels either)
+            key = "att_rkvg" if len(names) == 4 else "att_rkv"
+            layers[key] = merge_qfast(parts)
+            for k in names:
+                del layers[k]
     out["layers"] = layers
     if head and isinstance(params.get("head"), Linear):
         from rwkv_tpu.ops import qmm
 
         hd = params["head"]
         inn, o = hd.shape
-        if mode != "block" or qmm.aligned_for_kernel(inn, o, QK):
+        ok = {
+            "block": lambda: qmm.aligned_for_kernel(inn, o, QK),
+            "int4": lambda: qmm.aligned_i4(inn, o, QK),
+            "w8a8": lambda: True,
+        }[mode]()
+        if ok:
             out["head"] = convert(hd)
     return out
 
@@ -475,11 +594,16 @@ def to_dense_f32(lin: Linear) -> Linear:
     if lin.kind == "w8a8":
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
-    if lin.kind == "qfast":
+    if lin.kind in ("qfast", "q4fast"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
-        *lead, inn, o = lin.q.shape
+        if lin.kind == "q4fast":
+            qp = np.asarray(lin.q).astype(np.int32)
+            codes = np.concatenate([qp & 15, qp >> 4], axis=-2) - i4_bias(lin.fmt)
+        else:
+            codes = np.asarray(lin.q)
+        *lead, inn, o = codes.shape
         g = group_of(lin.fmt)
-        q = np.asarray(lin.q).reshape(*lead, inn // g, g, o)
+        q = codes.reshape(*lead, inn // g, g, o)
         w = q.astype(np.float32) * np.asarray(lin.d, np.float32)[..., :, None, :]
         if lin.m is not None:
             w = w + np.asarray(lin.m, np.float32)[..., :, None, :]

@@ -294,3 +294,345 @@ def qmm_reference(x, q, d, m=None, group: int = QK):
         w = w + m[:, None, :]
     return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Packed sub-byte (int4) kernels — the reference's headline capability:
+# 4-bit weights whose bytes-on-the-bus are 4 bits (ggml vec_dot reads packed
+# 32-element blocks directly; type table rwkv_file_format.inc:5-24, and Q4_0
+# is both smaller AND faster than Q8_0 in the reference's own README table).
+#
+# TPU-native layout ("half-split packing"): a (in, out) matrix of unsigned
+# 4-bit codes is stored as (in/2, out) uint8 where byte row r holds unpacked
+# row r in its LOW nibble and row r + in/2 in its HIGH nibble. The kernel's
+# contraction grid walks packed rows; each step unpacks both nibble planes
+# with pure elementwise VPU ops (no sublane shuffles) and issues TWO dots —
+# x's lo-half slice against the lo plane and x's hi-half slice against the
+# hi plane — so every weight byte is DMA'd exactly once: 0.5 bytes/element,
+# half of the int8 'qfast' path's traffic. Decode is weight-streaming-bound,
+# so this is a near-proportional latency win.
+#
+# Codes are stored unsigned [0, 15]; `bias` (static) recovers signed formats
+# (Q4_0: value = (code - 8) * d; Q4_1/Q4_K: value = code * d + m, bias 0).
+# ---------------------------------------------------------------------------
+
+DECODE_TILES_I4 = None  # autotuned (OT, IT_packed) override for t <= 256
+
+# In-kernel dequant compute dtype. MEASURED (v5e decode, 1.5B B=8): bf16
+# interior is SLOWER than f32 (3.52 vs 3.01 ms/step) — the extra
+# f32->bf16/u8->bf16 converts outweigh the halved multiply width, and the
+# MXU dot already runs one bf16 pass on f32 inputs at DEFAULT precision.
+# Keep f32; bf16 stays available for experiments.
+I4_COMPUTE = jnp.float32
+
+# Unpack domain for the nibble planes. 'i32' (widen first) is the ONLY
+# domain current Mosaic lowers: 8-bit bitwise ops fail to legalize
+# (arith.shrui on u8), and u8->f32 casts are unimplemented — both verified
+# on-chip 2026-08-17. 'u8' is kept for when Mosaic grows 8-bit ALU support.
+I4_UNPACK = "i32"
+
+
+def pack_i4(q, bias: int = 0):
+    """Codes (..., in, out) int8/int: values+bias must fit [0, 15]. Returns
+    (..., in/2, out) uint8 half-split packed (row r lo-nibble, row r+in/2
+    hi-nibble). numpy in, numpy out."""
+    import numpy as np
+
+    q = np.asarray(q).astype(np.int32) + bias
+    if q.min() < 0 or q.max() > 15:
+        raise ValueError(f"codes+bias outside [0,15]: [{q.min()}, {q.max()}]")
+    inn = q.shape[-2]
+    if inn % 2:
+        raise ValueError(f"contraction dim {inn} must be even to pack")
+    lo = q[..., : inn // 2, :].astype(np.uint8)
+    hi = q[..., inn // 2 :, :].astype(np.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_i4(qp):
+    """(..., in/2, out) uint8 -> (..., in, out) int32 codes [0, 15] (jnp)."""
+    qi = qp.astype(jnp.int32)
+    return jnp.concatenate([qi & 15, qi >> 4], axis=-2)
+
+
+def aligned_i4(inn: int, out: int, group: int = QK) -> bool:
+    """Tiling feasibility for the packed kernels: out fills 128-lane tiles
+    and each packed half splits into whole 8-sublane scale-group tiles."""
+    return out % 128 == 0 and inn % (16 * group) == 0
+
+
+def _check_aligned_i4(inn, out, group):
+    if not aligned_i4(inn, out, group):
+        raise ValueError(
+            f"qmm_i4 kernel needs out % 128 == 0 and in % {16 * group} == 0, "
+            f"got (in={inn}, out={out}); use qmm_i4_reference"
+        )
+
+
+def _i4_tiles(t, inn, out, group, tiles):
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    half = inn // 2
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    # packed-row tile; default matches the int8 kernel's unpacked span
+    # (IT=2048 worth of weights per step at decode shapes)
+    ITp = _pick_tile(half, (tiles[1] if tiles else (1024 if t <= 256 else 256)))
+    if ITp % group:
+        raise ValueError(f"packed in_tile {ITp} not a multiple of {group}")
+    return TT, OT, ITp
+
+
+def _expand_scales(s, group):
+    nb, ot = s.shape
+    return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(nb * group, ot)
+
+
+def _i4_planes(q, bias, compute):
+    if I4_UNPACK == "u8":
+        # bit-ops at 8-bit vector width; Mosaic has no u8->f32 cast, so hop
+        # through i8 (values <= 15, exact) the way the int8 kernel converts
+        lo = (q & jnp.uint8(15)).astype(jnp.int8).astype(compute) - bias
+        hi = (q >> jnp.uint8(4)).astype(jnp.int8).astype(compute) - bias
+    else:
+        qi = q.astype(jnp.int32)
+        lo = ((qi & 15) - bias).astype(compute)
+        hi = ((qi >> 4) - bias).astype(compute)
+    return lo, hi
+
+
+def _i4_weights(q, dlo, dhi, mlo, mhi, *, with_min, group, bias, compute):
+    """Unpack one packed tile into its (w_lo, w_hi) dequantized planes."""
+    lo, hi = _i4_planes(q, bias, compute)
+    if with_min:
+        w_lo = lo * _expand_scales(dlo.astype(compute), group) + _expand_scales(mlo.astype(compute), group)
+        w_hi = hi * _expand_scales(dhi.astype(compute), group) + _expand_scales(mhi.astype(compute), group)
+    else:
+        w_lo = lo * _expand_scales(dlo.astype(compute), group)
+        w_hi = hi * _expand_scales(dhi.astype(compute), group)
+    return w_lo, w_hi
+
+
+def _qmm_i4_kernel(x_lo_ref, x_hi_ref, q_ref, dlo_ref, dhi_ref, o_ref, acc_ref,
+                   *, with_min, group, bias, out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        args = (dlo_ref[:, :, 0], dhi_ref[:, :, 0], dlo_ref[:, :, 1], dhi_ref[:, :, 1])
+    else:
+        args = (dlo_ref[...], dhi_ref[...], None, None)
+    w_lo, w_hi = _i4_weights(q_ref[...], *args, with_min=with_min, group=group,
+                             bias=bias, compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[...].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[...].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "group", "out_dtype",
+                                             "tiles", "compute"))
+def qmm_i4(x, q, d, m=None, bias: int = 8, group: int = QK,
+           out_dtype=jnp.float32, tiles=None, compute=None):
+    """x: (T, in) f32; q: (in/2, out) uint8 half-split packed nibbles;
+    d[, m]: (in//group, out) f32. y = x @ ((codes - bias) * d (+ m))."""
+    compute = I4_COMPUTE if compute is None else compute
+    t, inn2 = x.shape[0], q.shape[0]
+    inn, out = 2 * inn2, q.shape[1]
+    assert x.shape[1] == inn
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i4_tiles(t, inn, out, group, tiles)
+    NH = inn2 // ITp      # contraction steps; hi-half block offset
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        dg = ITp // group
+        d_lo = pl.BlockSpec((dg, OT, 2), lambda r, o, i: (i, o, 0), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((dg, OT, 2), lambda r, o, i, NH=NH: (NH + i, o, 0), memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        dg = ITp // group
+        d_lo = pl.BlockSpec((dg, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((dg, OT), lambda r, o, i, NH=NH: (NH + i, o), memory_space=pltpu.VMEM)
+
+    grid = (t // TT, out // OT, NH)
+    return pl.pallas_call(
+        functools.partial(_qmm_i4_kernel, with_min=with_min, group=group,
+                          bias=bias, out_dtype=out_dtype, compute=compute),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TT, ITp), lambda r, o, i: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, ITp), lambda r, o, i, NH=NH: (r, NH + i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITp, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM),
+            d_lo,
+            d_hi,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i: (r, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )(x, x, q, dm, dm)
+
+
+def _qmm_i4_stacked_kernel(l_ref, x_lo_ref, x_hi_ref, q_ref, dlo_ref, dhi_ref,
+                           o_ref, acc_ref, *, with_min, group, bias, out_dtype,
+                           compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        args = (dlo_ref[0, :, :, 0], dhi_ref[0, :, :, 0],
+                dlo_ref[0, :, :, 1], dhi_ref[0, :, :, 1])
+    else:
+        args = (dlo_ref[0], dhi_ref[0], None, None)
+    w_lo, w_hi = _i4_weights(q_ref[0], *args, with_min=with_min, group=group,
+                             bias=bias, compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[...].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[...].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "group", "out_dtype",
+                                             "tiles", "compute"))
+def qmm_i4_stacked(x, q, d, m, layer, bias: int = 8, group: int = QK,
+                   out_dtype=jnp.float32, tiles=None, compute=None):
+    """Layer-stacked packed-int4 fused dequant-matmul: q (L, in/2, out)
+    uint8, d/m (L, in//group, out) f32, layer a traced scalar. The decode
+    hot path for 4-bit serving (same scalar-prefetch trick as qmm_stacked)."""
+    compute = I4_COMPUTE if compute is None else compute
+    t = x.shape[0]
+    inn2, out = q.shape[1], q.shape[2]
+    inn = 2 * inn2
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i4_tiles(t, inn, out, group, tiles)
+    NH = inn2 // ITp
+    dg = ITp // group
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_lo = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l: (l[0], i, o, 0), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l, NH=NH: (l[0], NH + i, o, 0), memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        d_lo = pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((1, dg, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, NH),
+        in_specs=[
+            pl.BlockSpec((TT, ITp), lambda r, o, i, l: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, ITp), lambda r, o, i, l, NH=NH: (r, NH + i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            d_lo,
+            d_hi,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_i4_stacked_kernel, with_min=with_min, group=group,
+                          bias=bias, out_dtype=out_dtype, compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, q, dm, dm)
+
+
+def _qmm_i4_stacked_multi_kernel(l_ref, x_lo_ref, x_hi_ref, q_ref, dlo_ref,
+                                 dhi_ref, o_ref, acc_ref, *, group, bias,
+                                 out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w_lo, w_hi = _i4_weights(q_ref[0], dlo_ref[0], dhi_ref[0], None, None,
+                             with_min=False, group=group, bias=bias,
+                             compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[0].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[0].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "bias", "group",
+                                             "out_dtype", "tiles", "compute"))
+def qmm_i4_stacked_multi(xs, q, d, layer, n_parts: int, bias: int = 8,
+                         group: int = QK, out_dtype=jnp.float32, tiles=None,
+                         compute=None):
+    """N projections through one packed-int4 kernel pipeline: xs (N, T, in),
+    q (L, in/2, N*Eo) uint8 half-split packed, d (L, in//group, N*Eo) f32.
+    The output tile's index map picks the matching input (same fusion trick
+    as qmm_stacked_multi). Returns (T, N*Eo)."""
+    compute = I4_COMPUTE if compute is None else compute
+    n, t, inn = xs.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i4_tiles(t, inn, eo, group, tiles)   # tiles never span parts
+    NH = (inn // 2) // ITp
+    dg = ITp // group
+    per = eo // OT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, NH),
+        in_specs=[
+            pl.BlockSpec((1, TT, ITp), lambda r, o, i, l, per=per: (o // per, r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, ITp), lambda r, o, i, l, per=per, NH=NH: (o // per, r, NH + i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_i4_stacked_multi_kernel, group=group, bias=bias,
+                          out_dtype=out_dtype, compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, xs, q, d, d)
+
+
+def qmm_i4_reference(x, q, d, m=None, bias: int = 8, group: int = QK):
+    """jnp fallback for packed-int4 weights (CPU / unaligned shapes):
+    identical math to the kernels, XLA-fused."""
+    codes = unpack_i4(q) - bias                       # (in, out) int32
+    inn, out = codes.shape
+    w = codes.astype(jnp.float32).reshape(inn // group, group, out) * d[:, None, :]
+    if m is not None:
+        w = w + m[:, None, :]
+    return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)

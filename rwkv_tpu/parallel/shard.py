@@ -46,8 +46,12 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
         else:
             q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
-    if lin.kind == "qfast":
-        # q: (L, in, O); d/m: (L, nb, O) — contraction-major
+    if lin.kind in ("qfast", "q4fast"):
+        # q: (L, in, O) int8 — or (L, in/2, O) packed uint8 for q4fast —
+        # and d/m: (L, nb, O), all contraction-major. q4fast under a mesh
+        # evaluates through the jnp reference path (global semantics), so
+        # sharding the packed-row axis stays correct: GSPMD reshards the
+        # unpack/concat as needed.
         if mode == "col":
             q, d = P(*lead, None, "tp"), P(*lead, None, "tp")
         else:

@@ -41,7 +41,6 @@ import jax
 import jax.numpy as jnp
 
 from rwkv_tpu.models import forward as fwd
-from rwkv_tpu.runtime.buckets import bucket_for
 from rwkv_tpu.runtime.errors import RWKVArgsError
 from rwkv_tpu.utils.sampling import sample_logits
 
@@ -67,6 +66,9 @@ class _Stream:
     generated: list = field(default_factory=list)
     done: bool = False
     token_counts: dict = field(default_factory=dict)
+    # deferred-join prefill progress (None once active): [chunk_blocks
+    # (n_blocks, NB, C) int32, total_len, next_block, slot_state]
+    pending: list | None = None
 
 
 def _serve_step_core(params, cfg, last_tok, state, counts, active,
@@ -146,12 +148,20 @@ class Server:
     """Slot-based continuous batching over one model."""
 
     def __init__(self, ctx, max_streams: int = 8, seed: int = 0,
-                 on_device: bool = True, mesh=None, top_k: int = 512):
+                 on_device: bool = True, mesh=None, top_k: int = 512,
+                 join_chunk: int = 64, join_block: int = 4):
         """top_k: on-device sampling evaluates the nucleus inside the top-k
         logit window (exact whenever the top-p nucleus holds fewer than k
         tokens — true for any practical top_p; at top_p ~ 1.0 with a high
         temperature the tail beyond k is unreachable on device, unlike the
-        full-vocab host path — raise top_k or use on_device=False there)."""
+        full-vocab host path — raise top_k or use on_device=False there).
+
+        join_chunk/join_block: joins prefill through fixed-shape
+        (join_block, join_chunk)-token forward_chunks dispatches (the
+        reference's chunked-prefill semantics, rwkv_eval.inc:158-221) — one
+        XLA compile covers EVERY prompt length, and deferred joins
+        (add(..., defer=True)) advance one block per step/step_window call,
+        bounding the stall other streams see to one block per window."""
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.B = max_streams
@@ -194,11 +204,26 @@ class Server:
         self._cfg_arrays = None  # rebuilt lazily on stream join/leave
         self._zero_bias = None   # cached (B, V) zeros for bias-free configs
         self.top_k = top_k
+        self.join_chunk = join_chunk
+        self.join_block = join_block
 
     # -- stream lifecycle ---------------------------------------------------
 
-    def add(self, prompt_tokens, config: StreamConfig | None = None) -> int:
-        """Prefill a prompt into a free slot; returns the stream id."""
+    def add(self, prompt_tokens, config: StreamConfig | None = None,
+            defer: bool = False) -> int:
+        """Prefill a prompt into a free slot; returns the stream id.
+
+        The prompt runs through fixed-shape chunked-prefill blocks
+        (forward_chunks over (join_block, join_chunk) token tiles — the
+        reference's rwkv_eval_sequence_in_chunks semantics, device-scanned):
+        one compiled graph serves every prompt length, so a join never pays
+        a fresh XLA compile for a new length bucket.
+
+        defer=True returns immediately; the prefill then advances ONE block
+        per step()/step_window() call, so concurrently decoding streams
+        stall at most one block per window (continuous batching with bounded
+        join interference). The stream starts emitting once its prefill
+        completes."""
         if not self._free:
             raise RWKVArgsError("no free stream slots")
         toks = np.asarray(prompt_tokens, np.int32)
@@ -207,33 +232,61 @@ class Server:
         slot = self._free.pop()
         config = config or StreamConfig()
 
-        # per-slot prefill on a fresh state, then scatter into the batch
-        slot_state = fwd.init_state(self.cfg)
+        C, NB = self.join_chunk, self.join_block
         t = len(toks)
-        bucket = bucket_for(t)
-        padded = np.zeros(bucket, np.int32)
+        block_tokens = C * NB
+        n_blocks = max(1, -(-t // block_tokens))
+        padded = np.zeros(n_blocks * block_tokens, np.int32)
         padded[:t] = toks
-        logits, slot_state = fwd.forward(
-            self._params, self.cfg, jnp.asarray(padded), slot_state, jnp.int32(t)
+        blocks = padded.reshape(n_blocks, NB, C)
+
+        sid = self._next_sid
+        self._next_sid += 1
+        stream = _Stream(sid=sid, slot=slot, config=config,
+                         pending=[blocks, t, 0, fwd.init_state(self.cfg)])
+        self._streams[sid] = stream
+        self._by_slot[slot] = stream
+        self._cfg_arrays = None
+        if not defer:
+            while stream.pending is not None:
+                self._advance_join(stream)
+        return sid
+
+    def _advance_join(self, stream: _Stream):
+        """Run one fixed-shape prefill block of a pending join; on the final
+        block, scatter the stream's state into the batch, seed counts, and
+        emit the first token (host-side sampling from the prefill logits —
+        once per join, not per step)."""
+        blocks, total, i, slot_state = stream.pending
+        C, NB = self.join_chunk, self.join_block
+        remaining = total - i * NB * C
+        last = remaining <= NB * C
+        logits, slot_state = fwd.forward_chunks(
+            self._params, self.cfg, jnp.asarray(blocks[i]), slot_state,
+            jnp.int32(min(remaining, NB * C)), compute_logits=last,
         )
+        if not last:
+            stream.pending = [blocks, total, i + 1, slot_state]
+            return
+        stream.pending = None
+        slot = stream.slot
         self._state = jax.tree.map(
             lambda b, s: b.at[:, slot].set(s), self._state, slot_state
         )
         self._counts = self._counts.at[slot].set(0)
-        sid = self._next_sid
-        self._next_sid += 1
-        stream = _Stream(sid=sid, slot=slot, config=config)
-        self._streams[sid] = stream
-        self._by_slot[slot] = stream
-        self._cfg_arrays = None
-        # sample the first generated token from the prefill logits (host-side:
-        # this is once per join, not per step)
+        self._cfg_arrays = None  # stream becomes active for the decode mask
         self._emit(stream, np.asarray(logits))
         # mirror the first token into the on-device penalty counts so
         # serve_step's presence/frequency penalties see it too
-        for t, n in stream.token_counts.items():
-            self._counts = self._counts.at[slot, t].set(n)
-        return sid
+        for tk, n in stream.token_counts.items():
+            self._counts = self._counts.at[slot, tk].set(n)
+
+    def _advance_pending(self):
+        """One block of progress for every pending join (called before each
+        decode step/window)."""
+        for stream in list(self._by_slot.values()):
+            if stream.pending is not None:
+                self._advance_join(stream)
 
     def _emit(self, stream: _Stream, logits: np.ndarray):
         c = stream.config
@@ -276,9 +329,12 @@ class Server:
         top_ps = np.ones(B, np.float32)
         presence = np.zeros(B, np.float32)
         freq = np.zeros(B, np.float32)
-        any_bias = any(s.config.logit_bias for s in self._by_slot.values())
+        any_bias = any(s.config.logit_bias for s in self._by_slot.values()
+                       if s.pending is None)
         bias = np.zeros((B, V), np.float32) if any_bias else None
         for s in self._by_slot.values():
+            if s.pending is not None:
+                continue  # joining: excluded from the decode mask until ready
             c = s.config
             active[s.slot] = True
             temps[s.slot] = c.temperature
@@ -298,10 +354,15 @@ class Server:
                                  (active, temps, top_ps, presence, freq)) + (bias_dev,)
         return self._cfg_arrays
 
+    def _active(self):
+        return [s for s in self._by_slot.values() if s.pending is None]
+
     def step(self) -> Dict[int, int]:
-        """One lockstep decode step for every active stream. Returns the
-        tokens emitted this step keyed by stream id."""
-        if not self._by_slot:
+        """One lockstep decode step for every active stream (deferred joins
+        advance one prefill block first). Returns the tokens emitted this
+        step keyed by stream id."""
+        self._advance_pending()
+        if not self._active():
             return {}
         if self.on_device:
             return self._step_device()
@@ -318,7 +379,7 @@ class Server:
         )
         tok_np = np.asarray(tok)
         out = {}
-        for stream in list(self._by_slot.values()):
+        for stream in list(self._active()):
             before_done = stream.done
             self._record(stream, int(tok_np[stream.slot]))
             if not before_done:
@@ -330,8 +391,11 @@ class Server:
         (serve_window) and apply stop/max bookkeeping afterwards. Streams
         cannot join mid-window (join latency <= `steps` decode steps);
         streams that finish mid-window have their surplus tokens discarded.
-        Returns {sid: [tokens emitted this window]}. Requires on_device."""
-        if not self._by_slot:
+        Returns {sid: [tokens emitted this window]}. Requires on_device.
+        Deferred joins advance one prefill block per window (bounded
+        interference) and activate at the next window boundary."""
+        self._advance_pending()
+        if not self._active():
             return {}
         if not self.on_device:
             raise RWKVArgsError("step_window requires on_device sampling")
@@ -345,7 +409,7 @@ class Server:
         )
         toks_np = np.asarray(toks)                   # (steps, B)
         out = {}
-        for stream in list(self._by_slot.values()):
+        for stream in list(self._active()):
             emitted = []
             for t in range(steps):
                 if stream.done:
@@ -362,10 +426,12 @@ class Server:
             self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
             layer_major=True,
         )
-        # only active slots advance their state (B is axis 1, layer-major)
+        # only active slots advance their state (B is axis 1, layer-major);
+        # pending joins keep their slot frozen until their prefill lands
         active = np.zeros(self.B, bool)
         for s in self._by_slot.values():
-            active[s.slot] = True
+            if s.pending is None:
+                active[s.slot] = True
         mask = jnp.asarray(active)
         self._state = jax.tree.map(
             lambda n, o: jnp.where(
@@ -376,7 +442,7 @@ class Server:
         )
         logits_np = np.asarray(logits)
         out = {}
-        for stream in list(self._by_slot.values()):
+        for stream in list(self._active()):
             before_done = stream.done
             self._emit(stream, logits_np[stream.slot])
             if not before_done:

@@ -18,26 +18,35 @@ RNG = np.random.default_rng(21)
 @pytest.mark.parametrize("fmt", qc.QUANT_FORMATS)
 @pytest.mark.parametrize("t", [1, 8])
 def test_qmm_matches_dense_dequant(fmt, t):
-    out, inn = 128, 256
+    out, inn = 128, 512
     w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
     rec = make_record("w", w, fmt)
     lin = from_record(rec, parity=False)
-    assert lin.kind == "qfast"
+    # 4-bit-class formats serve packed (2 codes/byte); 5/8-bit as int8 codes
+    expect_kind = "q4fast" if fmt in ("Q4_0", "Q4_1") else "qfast"
+    assert lin.kind == expect_kind
     x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
 
     # ground truth: exact dequantized dense matmul
     dense = to_dense_f32(lin)
     y_ref = np.asarray(x) @ np.asarray(dense.w)
 
-    # jnp fallback path
-    y_jnp = qmm.qmm_reference(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                              None if lin.m is None else jnp.asarray(lin.m))
-    np.testing.assert_allclose(y_jnp, y_ref, atol=1e-4, rtol=1e-5)
+    q = jnp.asarray(lin.q)
+    d = jnp.asarray(lin.d)
+    m = None if lin.m is None else jnp.asarray(lin.m)
+    if lin.kind == "q4fast":
+        from rwkv_tpu.ops.linear import i4_bias
 
-    # pallas kernel (interpret mode on CPU)
-    with pltpu.force_tpu_interpret_mode():
-        y_pl = qmm.qmm(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                       None if lin.m is None else jnp.asarray(lin.m))
+        b = i4_bias(fmt)
+        y_jnp = qmm.qmm_i4_reference(x, q, d, m, bias=b)
+        np.testing.assert_allclose(y_jnp, y_ref, atol=1e-4, rtol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            y_pl = qmm.qmm_i4(x, q, d, m, bias=b, compute=jnp.float32)
+    else:
+        y_jnp = qmm.qmm_reference(x, q, d, m)
+        np.testing.assert_allclose(y_jnp, y_ref, atol=1e-4, rtol=1e-5)
+        with pltpu.force_tpu_interpret_mode():
+            y_pl = qmm.qmm(x, q, d, m)
     np.testing.assert_allclose(y_pl, y_ref, atol=1e-4, rtol=1e-5)
 
 
@@ -69,11 +78,12 @@ def test_qfast_full_model_matches_parity_quality():
     assert abs(ds) <= 48.068733 * 1.10, ds
 
 
-@pytest.mark.parametrize("fmt", ["Q5_1", "Q8_0", "Q4_K", "Q6_K"])
+@pytest.mark.parametrize("fmt", ["Q5_1", "Q8_0", "Q5_K", "Q6_K"])
 def test_qmm_stacked_matches_per_layer(fmt):
     """The scalar-prefetch layer-stacked kernel (the int8 decode hot path)
     must select the right layer's tiles and match the unstacked kernel, for
-    both 32- and 16-element scale groups."""
+    both 32- and 16-element scale groups. (Q4-class formats pack to q4fast
+    and are covered by the int4 tests below.)"""
     from rwkv_tpu.ops.linear import from_record, group_of
 
     L, out, inn = 3, 128, 512
@@ -115,3 +125,160 @@ def test_qmm_group16_kernel(fmt):
         y_pl = qmm.qmm(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
                        None if lin.m is None else jnp.asarray(lin.m), group=g)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Packed int4 ("half-split nibbles") kernels — the sub-byte serving path
+# ---------------------------------------------------------------------------
+
+def test_q4k_from_record_packs():
+    """Q4_K (4-bit codes + per-32 min) also serves packed: from_record gives
+    q4fast with bias 0, and the packed matmul matches exact dequantization."""
+    out, inn = 128, 512
+    w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
+    lin = from_record(make_record("w", w, "Q4_K"), parity=False)
+    assert lin.kind == "q4fast" and lin.m is not None
+    x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
+    y = matmul(x, lin)
+    y_ref = np.asarray(x) @ np.asarray(to_dense_f32(lin).w)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        y_pl = qmm.qmm_i4(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
+                          jnp.asarray(lin.m), bias=0, compute=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_pl), y_ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pack_unpack_i4_roundtrip():
+    inn, out = 64, 8
+    codes = RNG.integers(-8, 8, size=(inn, out)).astype(np.int8)
+    packed = qmm.pack_i4(codes, bias=8)
+    assert packed.shape == (inn // 2, out) and packed.dtype == np.uint8
+    back = np.asarray(qmm.unpack_i4(jnp.asarray(packed))) - 8
+    np.testing.assert_array_equal(back, codes)
+
+
+@pytest.mark.parametrize("with_min", [False, True])
+@pytest.mark.parametrize("tiles", [None, (128, 256)])
+def test_qmm_i4_kernel_matches_reference(with_min, tiles):
+    """Packed kernel (interpret mode) vs the jnp unpack reference, incl. a
+    multi-step contraction grid (tiles=(128,256) gives NH=2 accumulation)."""
+    inn, out, t = 1024, 256, 8
+    codes = RNG.integers(0, 16, size=(inn, out)).astype(np.uint8)
+    packed = jnp.asarray(codes[: inn // 2] | (codes[inn // 2 :] << 4))
+    d = jnp.asarray(RNG.standard_normal((inn // 32, out)).astype(np.float32) * 0.01)
+    m = jnp.asarray(RNG.standard_normal((inn // 32, out)).astype(np.float32) * 0.01) if with_min else None
+    bias = 0 if with_min else 8
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+
+    y_ref = qmm.qmm_i4_reference(x, packed, d, m, bias=bias)
+    with pltpu.force_tpu_interpret_mode():
+        y_pl = qmm.qmm_i4(x, packed, d, m, bias=bias, tiles=tiles, compute=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("with_min", [False, True])
+def test_qmm_i4_stacked_matches_per_layer(with_min):
+    """Scalar-prefetch layer-stacked packed kernel (the int4 decode hot
+    path) must select the right layer's tiles."""
+    L, inn, out, t = 3, 512, 128, 4
+    codes = RNG.integers(0, 16, size=(L, inn, out)).astype(np.uint8)
+    packed = jnp.asarray(codes[:, : inn // 2] | (codes[:, inn // 2 :] << 4))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    m = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01) if with_min else None
+    bias = 0 if with_min else 8
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+
+    for layer in range(L):
+        y_ref = qmm.qmm_i4_reference(
+            x, packed[layer], d[layer], None if m is None else m[layer], bias=bias)
+        with pltpu.force_tpu_interpret_mode():
+            y_st = qmm.qmm_i4_stacked(x, packed, d, m, jnp.int32(layer), bias=bias, compute=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_qmm_i4_stacked_multi_matches_parts():
+    """Merged N-projection packed kernel: each part's output must equal its
+    standalone packed matmul with that part's own input."""
+    L, inn, eo, n, t = 2, 512, 128, 3, 4
+    codes = RNG.integers(0, 16, size=(L, inn, n * eo)).astype(np.uint8)
+    packed = jnp.asarray(codes[:, : inn // 2] | (codes[:, inn // 2 :] << 4))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, n * eo)).astype(np.float32) * 0.01)
+    xs = jnp.asarray(RNG.standard_normal((n, t, inn)).astype(np.float32))
+
+    for layer in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            y = qmm.qmm_i4_stacked_multi(xs, packed, d, jnp.int32(layer), n, bias=8, compute=jnp.float32)
+        for i in range(n):
+            y_ref = qmm.qmm_i4_reference(
+                xs[i], packed[layer, :, i * eo:(i + 1) * eo],
+                d[layer, :, i * eo:(i + 1) * eo], bias=8)
+            np.testing.assert_allclose(np.asarray(y[:, i * eo:(i + 1) * eo]),
+                                       np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_dense_i4_device_and_dispatch():
+    """On-device int4 quantization: codes reconstruct the dense weights to
+    4-bit accuracy and matmul() dispatches through the packed path."""
+    from rwkv_tpu.ops.linear import quantize_dense_i4_device
+
+    inn, out = 512, 128
+    w = RNG.standard_normal((inn, out)).astype(np.float32) * 0.1
+    lin = Linear(w=jnp.asarray(w), kind="dense")
+    q4 = quantize_dense_i4_device(lin)
+    assert q4.kind == "q4fast" and q4.fmt == "INT4"
+    assert q4.q.shape == (inn // 2, out) and q4.q.dtype == jnp.uint8
+
+    w_hat = np.asarray(to_dense_f32(q4).w)
+    # 4-bit round-to-nearest: |err| <= d/2 = absmax/14 per 32-block
+    blocks = w.reshape(inn // 32, 32, out)
+    dmax = np.abs(blocks).max(axis=1) / 7.0
+    err = np.abs((w_hat - w).reshape(inn // 32, 32, out))
+    assert (err <= dmax[:, None, :] / 2 + 1e-7).all()
+
+    x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
+    y = matmul(x, q4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ w_hat,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_params_int4_merge_and_forward():
+    """mode='int4' with merge_rkv on a real tiny model: merged q4fast rkv
+    projections flow through matmul_multi's reference path off-TPU, and the
+    logits stay close to the dense fast path."""
+    import jax
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+
+    q4 = quantize_params_device(prm, mode="int4", merge_rkv=True)
+    kinds = {k: v.kind for k, v in q4["layers"].items()
+             if hasattr(v, "kind")}
+    assert any(v == "q4fast" for v in kinds.values()), kinds
+    logits_q4, _ = F.forward(q4, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q4))[0, 1]
+    # 4-bit band: looser than int8's 0.999 (the per-matmul tests above pin
+    # exactness of the packed math; this checks end-to-end quality scale)
+    assert c > 0.98, c
+
+
+def test_qmm_i4_bf16_interior_default():
+    """The default serving interior (I4_COMPUTE=bf16) tracks the exact f32
+    reference within bf16 tolerance: the MXU dot is bf16 either way, the
+    only extra rounding is on scales/codes before the multiply."""
+    inn, out, t = 1024, 256, 8
+    codes = RNG.integers(0, 16, size=(inn, out)).astype(np.uint8)
+    packed = jnp.asarray(codes[: inn // 2] | (codes[inn // 2 :] << 4))
+    d = jnp.asarray(RNG.standard_normal((inn // 32, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    y_ref = np.asarray(qmm.qmm_i4_reference(x, packed, d, bias=8))
+    with pltpu.force_tpu_interpret_mode():
+        y_bf = np.asarray(qmm.qmm_i4(x, packed, d, bias=8))
+    scale = np.abs(y_ref).mean() + 1e-6
+    assert np.max(np.abs(y_bf - y_ref)) / scale < 0.05

@@ -245,3 +245,40 @@ def test_step_window_stop_token_truncates(ctx):
     sid2 = srv.add([34], StreamConfig(temperature=0.0, max_new_tokens=3, stop_token=None))
     srv.run_until_done()
     assert len(srv.result(sid2)) == 3
+
+
+def test_deferred_join_matches_sync_join(ctx):
+    """add(defer=True) must produce the same greedy tokens as a synchronous
+    add once its chunked prefill completes (same forward_chunks blocks)."""
+    prompt = (list(b'"in the beginning of the story there was a very long '
+                   b'introduction that kept going') * 8)[:600]
+    ref = Server(ctx, max_streams=1, seed=0)
+    r = ref.add(prompt, GREEDY)
+    ref.run_until_done()
+
+    srv = Server(ctx, max_streams=2, seed=0)
+    a = srv.add(list(b'"in the'), GREEDY)
+    d = srv.add(prompt, GREEDY, defer=True)
+    assert srv._streams[d].pending is not None
+    # pending stream emits nothing until its prefill blocks complete
+    for _ in range(20):
+        srv.step()
+        if srv._streams[d].done and srv._streams[a].done:
+            break
+    assert srv.result(d) == ref.result(r)
+
+
+def test_deferred_join_does_not_disturb_running_streams(ctx):
+    """A deferred join must not change the tokens of concurrently decoding
+    streams (its slot stays masked out until the prefill lands)."""
+    solo = Server(ctx, max_streams=2, seed=0)
+    s = solo.add(list(b'"in the'), GREEDY)
+    solo.run_until_done()
+
+    srv = Server(ctx, max_streams=2, seed=0)
+    a = srv.add(list(b'"in the'), GREEDY)
+    srv.step()
+    srv.add(list(b"Once upon a time there was") * 10, GREEDY, defer=True)
+    while not srv._streams[a].done:
+        srv.step()
+    assert srv.result(a) == solo.result(s)
