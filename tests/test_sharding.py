@@ -117,3 +117,14 @@ def test_tp_only_mesh_single_stream():
                               jax.device_put(lengths, M.sharding(mesh, "dp")))
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_multiprocess_distributed_dryrun():
+    """REAL multi-process execution (not virtual devices): 2 worker
+    processes x 4 CPU devices each, jax.distributed.initialize + gloo
+    collectives, global (dp=2, tp=4) mesh with dp spanning processes —
+    sharded prefill logits and greedy decode must match single-process.
+    This exercises the DCN-axis story of SURVEY.md §5.8 for real."""
+    from rwkv_tpu.parallel.multiproc import run_multiprocess_dryrun
+
+    run_multiprocess_dryrun(num_processes=2, local_devices=4)
