@@ -71,14 +71,14 @@ class _Stream:
     pending: list | None = None
 
 
-def _serve_step_core(params, cfg, last_tok, state, counts, active,
-                     temps, top_ps, presence, freq, bias, key, top_k):
-    logits, new_state = fwd.forward_step(params, cfg, last_tok, state,
-                                         layer_major=True)
-    logits = logits + bias
-    # presence/frequency penalties from the on-device counts
-    logits = logits - presence[:, None] * (counts > 0) - freq[:, None] * counts
-
+def device_sample(logits, temps, top_ps, key, top_k: int):
+    """Vectorized on-device sampling: per-row temperature + top-p nucleus
+    evaluated inside a top-k logit window. Semantics match the host
+    reference (utils/sampling.py): the nucleus keeps tokens until the
+    cumulative prob exceeds top_p (inclusive), then samples ∝ p^(1/T) over
+    the kept set; temperature 0 is argmax. Exact vs the full-vocab host
+    path whenever the nucleus holds < top_k tokens (statistically verified
+    in tests/test_serve.py::test_device_sampling_distribution_fidelity)."""
     vals, idx = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))  # sorted desc
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -87,7 +87,18 @@ def _serve_step_core(params, cfg, last_tok, state, counts, active,
     choice = jax.random.categorical(key, logp, axis=-1)              # (B,)
     sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     greedy = idx[:, 0]                               # argmax incl. bias/penalty
-    tok = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+
+
+def _serve_step_core(params, cfg, last_tok, state, counts, active,
+                     temps, top_ps, presence, freq, bias, key, top_k):
+    logits, new_state = fwd.forward_step(params, cfg, last_tok, state,
+                                         layer_major=True)
+    logits = logits + bias
+    # presence/frequency penalties from the on-device counts
+    logits = logits - presence[:, None] * (counts > 0) - freq[:, None] * counts
+
+    tok = device_sample(logits, temps, top_ps, key, top_k)
 
     B = last_tok.shape[0]
     counts = counts.at[jnp.arange(B), tok].add(active.astype(jnp.int32))

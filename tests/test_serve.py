@@ -282,3 +282,61 @@ def test_deferred_join_does_not_disturb_running_streams(ctx):
     while not srv._streams[a].done:
         srv.step()
     assert srv.result(a) == solo.result(s)
+
+
+@pytest.mark.parametrize("temperature,top_p,top_k", [
+    (1.0, 0.8, 512),
+    (1.5, 0.95, 512),   # high-temp near-full nucleus (the round-2 caveat)
+    (0.7, 1.0, 512),    # nucleus disabled entirely
+    (1.0, 0.8, 16),     # window much smaller than vocab
+])
+def test_device_sampling_distribution_fidelity(ctx, temperature, top_p, top_k):
+    """Statistical fidelity of on-device top-k-windowed nucleus sampling vs
+    the host reference's EXACT distribution (utils/sampling.py semantics):
+    chi-square over 16k draws on real tiny-model logits. Quantifies the
+    'nucleus inside a top-k window' caveat instead of asserting greedy only."""
+    import jax
+    import jax.numpy as jnp
+    from rwkv_tpu.runtime.serve import device_sample
+    from rwkv_tpu.utils.sampling import softmax
+
+    logits_np = np.asarray(ctx.eval_sequence(list(b'"in the'))[0])
+    V = logits_np.size
+
+    # host EXACT distribution (mirrors sample_probs step for step)
+    p = softmax(logits_np)
+    if top_p < 1.0:
+        sp = np.sort(p)[::-1]
+        cutoff = float(sp[np.argmax(np.cumsum(sp) > top_p)])
+        p = np.where(p < cutoff, 0.0, p)
+    p = np.power(p, 1.0 / temperature)
+    host_p = p / p.sum()
+    if top_k < V:
+        # the caveat being quantified: mass outside the device's top-k window
+        order = np.argsort(logits_np)[::-1]
+        outside = host_p[order[top_k:]].sum()
+        assert outside < 1e-3, f"top-k window clips {outside:.4f} of the mass"
+
+    B, calls = 512, 32
+    lg = jnp.asarray(np.tile(logits_np, (B, 1)))
+    temps = jnp.full((B,), temperature, jnp.float32)
+    tps = jnp.full((B,), top_p, jnp.float32)
+    draws = []
+    fn = jax.jit(lambda k: device_sample(lg, temps, tps, k, top_k))
+    for i in range(calls):
+        draws.append(np.asarray(fn(jax.random.PRNGKey(1000 + i))))
+    counts = np.bincount(np.concatenate(draws), minlength=V).astype(np.float64)
+    N = counts.sum()
+
+    # chi-square over tokens with expected count >= 5, tail pooled
+    exp = host_p * N
+    big = exp >= 5
+    stat = float((((counts[big] - exp[big]) ** 2) / exp[big]).sum())
+    tail_exp, tail_obs = exp[~big].sum(), counts[~big].sum()
+    dof = int(big.sum()) - 1
+    if tail_exp >= 5:
+        stat += (tail_obs - tail_exp) ** 2 / tail_exp
+        dof += 1
+    # ~4-sigma chi-square bound: extremely unlikely under the null,
+    # robust against flaky CI while catching any systematic skew
+    assert stat < dof + 6 * np.sqrt(2 * dof) + 10, (stat, dof)
