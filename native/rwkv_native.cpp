@@ -486,19 +486,495 @@ static void quant_block_q8_0(const float* x, uint8_t* out) {
     for (int j = 0; j < QK; j++) q[j] = (int8_t)std::roundf(x[j] * id);
 }
 
+// ---- K-quant super-block encoders --------------------------------------
+// Sequential-C transcription of the same reference quantizer algorithms the
+// Python codec vectorizes (formats/kquant.py: make_qkx2_quants /
+// make_qx_quants / make_q3_quants grid searches). Summations here run in C
+// element order — the ORIGINAL semantics — so byte-agreement with the
+// numpy (pairwise-summing) encoder measures the tie-flip rate between the
+// two summation orders (tests/test_kquant.py).
+
+static const float KQ_GROUP_MAX_EPS = 1e-15f;
+
+static inline int nearest_int(float x) {
+    // round half to even (ggml's 12582912.0f magic; lrintf in default
+    // FE_TONEAREST mode is the same function for |x| < 2^22)
+    return (int)lrintf(x);
+}
+
+static float make_qkx2_quants(int n, int nmax, const float* x, const float* w,
+                              uint8_t* L, float* the_min, float rmin,
+                              float rdelta, int nstep, bool use_mad) {
+    float mn = x[0], mx = x[0];
+    float sum_w = w[0], sum_x = w[0] * x[0];
+    for (int i = 1; i < n; ++i) {
+        if (x[i] < mn) mn = x[i];
+        if (x[i] > mx) mx = x[i];
+        sum_w += w[i];
+        sum_x += w[i] * x[i];
+    }
+    if (mn > 0.f) mn = 0.f;
+    if (mx == mn) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        *the_min = -mn;
+        return 0.f;
+    }
+    uint8_t Laux[32];
+    float iscale = (float)nmax / (mx - mn);
+    float scale = 1.0f / iscale;
+    float best_mad = 0.f;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * (x[i] - mn));
+        l = l < 0 ? 0 : (l > nmax ? nmax : l);
+        L[i] = (uint8_t)l;
+        float diff = scale * L[i] + mn - x[i];
+        diff = use_mad ? std::fabs(diff) : diff * diff;
+        best_mad += w[i] * diff;
+    }
+    for (int is = 0; is <= nstep; ++is) {
+        float isc = (rmin + rdelta * is + (float)nmax) / (mx - mn);
+        float sum_l = 0.f, sum_l2 = 0.f, sum_xl = 0.f;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(isc * (x[i] - mn));
+            l = l < 0 ? 0 : (l > nmax ? nmax : l);
+            Laux[i] = (uint8_t)l;
+            sum_l += w[i] * l;
+            sum_l2 += w[i] * (float)l * l;
+            sum_xl += w[i] * l * x[i];
+        }
+        float D = sum_w * sum_l2 - sum_l * sum_l;
+        if (D > 0.f) {
+            float this_scale = (sum_w * sum_xl - sum_x * sum_l) / D;
+            float this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+            if (this_min > 0.f) {
+                this_min = 0.f;
+                this_scale = sum_xl / sum_l2;
+            }
+            float mad = 0.f;
+            for (int i = 0; i < n; ++i) {
+                float diff = this_scale * Laux[i] + this_min - x[i];
+                diff = use_mad ? std::fabs(diff) : diff * diff;
+                mad += w[i] * diff;
+            }
+            if (mad < best_mad) {
+                for (int i = 0; i < n; ++i) L[i] = Laux[i];
+                best_mad = mad;
+                scale = this_scale;
+                mn = this_min;
+            }
+        }
+    }
+    *the_min = -mn;
+    return scale;
+}
+
+static float make_qx_quants(int n, int nmax, const float* x, int8_t* L) {
+    // rmse_type 1 (weights = x^2), the only mode the quantizers use
+    float mx = 0.f, amax = 0.f;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; mx = x[i]; }
+    }
+    if (amax < KQ_GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -(float)nmax / mx;
+    float sumlx = 0.f, suml2 = 0.f;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)(l + nmax);
+        float w = x[i] * x[i];
+        sumlx += w * x[i] * l;
+        suml2 += w * (float)l * l;
+    }
+    float scale = suml2 != 0.f ? sumlx / suml2 : 0.f;
+    float best = scale * sumlx;
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        float isc = -((float)nmax + 0.1f * is) / mx;
+        float slx = 0.f, sl2 = 0.f;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(isc * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            float w = x[i] * x[i];
+            slx += w * x[i] * l;
+            sl2 += w * (float)l * l;
+        }
+        if (sl2 > 0.f && slx * slx > best * sl2) {
+            for (int i = 0; i < n; ++i) {
+                int l = nearest_int(isc * x[i]);
+                l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+                L[i] = (int8_t)(nmax + l);
+            }
+            scale = slx / sl2;
+            best = scale * slx;
+        }
+    }
+    return scale;
+}
+
+static float make_q3_quants(int n, int nmax, const float* x, int8_t* L) {
+    // do_rmse = true path (the only mode Q3_K uses)
+    float mx = 0.f, amax = 0.f;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; mx = x[i]; }
+    }
+    if (amax < KQ_GROUP_MAX_EPS) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -(float)nmax / mx;
+    float sumlx = 0.f, suml2 = 0.f;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)l;
+        float w = x[i] * x[i];
+        sumlx += w * x[i] * l;
+        suml2 += w * (float)l * l;
+    }
+    for (int itry = 0; itry < 5; ++itry) {
+        int n_changed = 0;
+        for (int i = 0; i < n; ++i) {
+            float w = x[i] * x[i];
+            float slx = sumlx - w * x[i] * L[i];
+            if (slx > 0.f) {
+                float sl2 = suml2 - w * (float)L[i] * L[i];
+                int new_l = nearest_int(x[i] * sl2 / slx);
+                new_l = new_l < -nmax ? -nmax : (new_l > nmax - 1 ? nmax - 1 : new_l);
+                if (new_l != L[i]) {
+                    slx += w * x[i] * new_l;
+                    sl2 += w * (float)new_l * new_l;
+                    if (sl2 > 0.f && slx * slx * suml2 > sumlx * sumlx * sl2) {
+                        L[i] = (int8_t)new_l;
+                        sumlx = slx;
+                        suml2 = sl2;
+                        ++n_changed;
+                    }
+                }
+            }
+        }
+        if (!n_changed) break;
+    }
+    for (int i = 0; i < n; ++i) L[i] = (int8_t)(L[i] + nmax);
+    return suml2 != 0.f ? sumlx / suml2 : 0.f;
+}
+
+// get_scale_min_k4 packing and its inverse (Q4_K/Q5_K 6-bit scales/mins)
+static void pack_scales_k4(const uint8_t* ls, const uint8_t* lm, uint8_t* sc) {
+    for (int j = 0; j < 12; ++j) sc[j] = 0;
+    for (int j = 0; j < 4; ++j) { sc[j] = ls[j]; sc[j + 4] = lm[j]; }
+    for (int j = 4; j < 8; ++j) {
+        sc[j + 4] = (uint8_t)((ls[j] & 0xF) | ((lm[j] & 0xF) << 4));
+        sc[j - 4] |= (uint8_t)((ls[j] >> 4) << 6);
+        sc[j] |= (uint8_t)((lm[j] >> 4) << 6);
+    }
+}
+
+static void unpack_scale_min_k4(int j, const uint8_t* q, uint8_t* d, uint8_t* m) {
+    if (j < 4) {
+        *d = q[j] & 63;
+        *m = q[j + 4] & 63;
+    } else {
+        *d = (uint8_t)((q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4));
+        *m = (uint8_t)((q[j + 4] >> 4) | ((q[j] >> 6) << 4));
+    }
+}
+
+static void quant_sb_q4_k(const float* x, uint8_t* out) {
+    uint8_t L[256];
+    float scales[8], mins[8], weights[32];
+    for (int j = 0; j < 8; ++j) {
+        float sum2 = 0.f;
+        for (int l = 0; l < 32; ++l) sum2 += x[32 * j + l] * x[32 * j + l];
+        float av_x = std::sqrt(sum2 / 32.f);
+        for (int l = 0; l < 32; ++l) weights[l] = av_x + std::fabs(x[32 * j + l]);
+        scales[j] = make_qkx2_quants(32, 15, x + 32 * j, weights, L + 32 * j,
+                                     &mins[j], -1.f, 0.1f, 20, false);
+    }
+    float max_scale = 0.f, max_min = 0.f;
+    for (int j = 0; j < 8; ++j) {
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    float inv_scale = max_scale > 0.f ? 63.f / max_scale : 0.f;
+    float inv_min = max_min > 0.f ? 63.f / max_min : 0.f;
+    uint8_t ls[8], lm[8];
+    for (int j = 0; j < 8; ++j) {
+        int s = nearest_int(inv_scale * scales[j]); ls[j] = (uint8_t)(s > 63 ? 63 : s);
+        int m = nearest_int(inv_min * mins[j]); lm[j] = (uint8_t)(m > 63 ? 63 : m);
+    }
+    uint16_t d16 = f32_to_f16(max_scale / 63.f);
+    uint16_t dmin16 = f32_to_f16(max_min / 63.f);
+    std::memcpy(out, &d16, 2);
+    std::memcpy(out + 2, &dmin16, 2);
+    pack_scales_k4(ls, lm, out + 4);
+    // re-quantize against the fp16-rounded effective scales
+    for (int j = 0; j < 8; ++j) {
+        uint8_t sc, mn;
+        unpack_scale_min_k4(j, out + 4, &sc, &mn);
+        float d_eff = f16_to_f32(d16) * sc;
+        if (d_eff == 0.f) continue;          // keep grid L
+        float m_eff = f16_to_f32(dmin16) * mn;
+        for (int l = 0; l < 32; ++l) {
+            int li = nearest_int((x[32 * j + l] + m_eff) / d_eff);
+            li = li < 0 ? 0 : (li > 15 ? 15 : li);
+            L[32 * j + l] = (uint8_t)li;
+        }
+    }
+    uint8_t* qs = out + 16;
+    for (int c = 0; c < 4; ++c)
+        for (int l = 0; l < 32; ++l)
+            qs[32 * c + l] = (uint8_t)(L[64 * c + l] | (L[64 * c + 32 + l] << 4));
+}
+
+static void quant_sb_q5_k(const float* x, uint8_t* out) {
+    uint8_t L[256];
+    float scales[8], mins[8], weights[32];
+    for (int j = 0; j < 8; ++j) {
+        float sum2 = 0.f;
+        for (int l = 0; l < 32; ++l) sum2 += x[32 * j + l] * x[32 * j + l];
+        float av_x = std::sqrt(sum2 / 32.f);
+        for (int l = 0; l < 32; ++l) weights[l] = av_x + std::fabs(x[32 * j + l]);
+        scales[j] = make_qkx2_quants(32, 31, x + 32 * j, weights, L + 32 * j,
+                                     &mins[j], -0.5f, 0.1f, 15, false);
+    }
+    float max_scale = 0.f, max_min = 0.f;
+    for (int j = 0; j < 8; ++j) {
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    float inv_scale = max_scale > 0.f ? 63.f / max_scale : 0.f;
+    float inv_min = max_min > 0.f ? 63.f / max_min : 0.f;
+    uint8_t ls[8], lm[8];
+    for (int j = 0; j < 8; ++j) {
+        int s = nearest_int(inv_scale * scales[j]); ls[j] = (uint8_t)(s > 63 ? 63 : s);
+        int m = nearest_int(inv_min * mins[j]); lm[j] = (uint8_t)(m > 63 ? 63 : m);
+    }
+    uint16_t d16 = f32_to_f16(max_scale / 63.f);
+    uint16_t dmin16 = f32_to_f16(max_min / 63.f);
+    std::memcpy(out, &d16, 2);
+    std::memcpy(out + 2, &dmin16, 2);
+    pack_scales_k4(ls, lm, out + 4);
+    for (int j = 0; j < 8; ++j) {
+        uint8_t sc, mn;
+        unpack_scale_min_k4(j, out + 4, &sc, &mn);
+        float d_eff = f16_to_f32(d16) * sc;
+        if (d_eff == 0.f) continue;
+        float m_eff = f16_to_f32(dmin16) * mn;
+        for (int l = 0; l < 32; ++l) {
+            int li = nearest_int((x[32 * j + l] + m_eff) / d_eff);
+            li = li < 0 ? 0 : (li > 31 ? 31 : li);
+            L[32 * j + l] = (uint8_t)li;
+        }
+    }
+    uint8_t* qh = out + 16;
+    uint8_t* qs = out + 48;
+    std::memset(qh, 0, 32);
+    for (int c = 0; c < 4; ++c)
+        for (int l = 0; l < 32; ++l) {
+            uint8_t lo = L[64 * c + l], hi = L[64 * c + 32 + l];
+            qs[32 * c + l] = (uint8_t)((lo & 0xF) | ((hi & 0xF) << 4));
+            qh[l] |= (uint8_t)(((lo >> 4) & 1) << (2 * c));
+            qh[l] |= (uint8_t)(((hi >> 4) & 1) << (2 * c + 1));
+        }
+}
+
+static void quant_sb_q6_k(const float* x, uint8_t* out) {
+    int8_t L[256];
+    float scales[16];
+    for (int j = 0; j < 16; ++j)
+        scales[j] = make_qx_quants(16, 32, x + 16 * j, L + 16 * j);
+    float max_scale = 0.f, max_abs = 0.f;
+    for (int j = 0; j < 16; ++j) {
+        float a = std::fabs(scales[j]);
+        if (a > max_abs) { max_abs = a; max_scale = scales[j]; }
+    }
+    if (max_abs < KQ_GROUP_MAX_EPS) {
+        std::memset(out, 0, 210);
+        return;
+    }
+    float iscale = -128.f / max_scale;
+    uint16_t d16 = f32_to_f16(1.0f / iscale);
+    int8_t* q_scales = (int8_t*)(out + 192);
+    for (int j = 0; j < 16; ++j) {
+        int s = nearest_int(iscale * scales[j]);
+        q_scales[j] = (int8_t)(s > 127 ? 127 : s);
+    }
+    std::memcpy(out + 208, &d16, 2);
+    for (int j = 0; j < 16; ++j) {
+        float d_eff = f16_to_f32(d16) * q_scales[j];
+        if (d_eff == 0.f) continue;          // keep grid L (already biased below)
+        for (int l = 0; l < 16; ++l) {
+            int li = nearest_int(x[16 * j + l] / d_eff);
+            li = li < -32 ? -32 : (li > 31 ? 31 : li);
+            L[16 * j + l] = (int8_t)(li + 32);
+        }
+    }
+    uint8_t* ql = out;
+    uint8_t* qh = out + 128;
+    for (int c = 0; c < 2; ++c) {
+        const uint8_t* Lc = (const uint8_t*)L + 128 * c;
+        for (int l = 0; l < 32; ++l) {
+            ql[64 * c + l] = (uint8_t)((Lc[l] & 0xF) | ((Lc[64 + l] & 0xF) << 4));
+            ql[64 * c + 32 + l] = (uint8_t)((Lc[32 + l] & 0xF) | ((Lc[96 + l] & 0xF) << 4));
+            qh[32 * c + l] = (uint8_t)((Lc[l] >> 4) | ((Lc[32 + l] >> 4) << 2) |
+                                       ((Lc[64 + l] >> 4) << 4) | ((Lc[96 + l] >> 4) << 6));
+        }
+    }
+}
+
+static void quant_sb_q2_k(const float* x, uint8_t* out) {
+    uint8_t L[256];
+    float scales[16], mins[16], weights[16];
+    for (int j = 0; j < 16; ++j) {
+        for (int l = 0; l < 16; ++l) weights[l] = std::fabs(x[16 * j + l]);
+        scales[j] = make_qkx2_quants(16, 3, x + 16 * j, weights, L + 16 * j,
+                                     &mins[j], -0.5f, 0.1f, 15, true);
+    }
+    float max_scale = 0.f, max_min = 0.f;
+    for (int j = 0; j < 16; ++j) {
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    uint8_t* sc_q = out;
+    std::memset(sc_q, 0, 16);
+    uint16_t d16 = 0, dmin16 = 0;
+    if (max_scale > 0.f) {
+        float isc = 15.f / max_scale;
+        for (int j = 0; j < 16; ++j) sc_q[j] = (uint8_t)nearest_int(isc * scales[j]);
+        d16 = f32_to_f16(max_scale / 15.f);
+    }
+    if (max_min > 0.f) {
+        float imn = 15.f / max_min;
+        for (int j = 0; j < 16; ++j)
+            sc_q[j] |= (uint8_t)(nearest_int(imn * mins[j]) << 4);
+        dmin16 = f32_to_f16(max_min / 15.f);
+    }
+    std::memcpy(out + 80, &d16, 2);
+    std::memcpy(out + 82, &dmin16, 2);
+    for (int j = 0; j < 16; ++j) {
+        float d_eff = f16_to_f32(d16) * (sc_q[j] & 0xF);
+        if (d_eff == 0.f) continue;
+        float m_eff = f16_to_f32(dmin16) * (sc_q[j] >> 4);
+        for (int l = 0; l < 16; ++l) {
+            int li = nearest_int((x[16 * j + l] + m_eff) / d_eff);
+            li = li < 0 ? 0 : (li > 3 ? 3 : li);
+            L[16 * j + l] = (uint8_t)li;
+        }
+    }
+    uint8_t* qs = out + 16;
+    for (int c = 0; c < 2; ++c)
+        for (int l = 0; l < 32; ++l)
+            qs[32 * c + l] = (uint8_t)(L[128 * c + l] | (L[128 * c + 32 + l] << 2) |
+                                       (L[128 * c + 64 + l] << 4) | (L[128 * c + 96 + l] << 6));
+}
+
+static void quant_sb_q3_k(const float* x, uint8_t* out) {
+    int8_t L[256];
+    float scales[16];
+    for (int j = 0; j < 16; ++j)
+        scales[j] = make_q3_quants(16, 4, x + 16 * j, L + 16 * j);
+    float max_scale = 0.f, max_abs = 0.f;
+    for (int j = 0; j < 16; ++j) {
+        float a = std::fabs(scales[j]);
+        if (a > max_abs) { max_abs = a; max_scale = scales[j]; }
+    }
+    uint8_t* packed = out + 96;
+    std::memset(packed, 0, 12);
+    uint16_t d16 = 0;
+    if (max_scale != 0.f) {
+        float iscale = -32.f / max_scale;
+        uint8_t ls[16];
+        for (int j = 0; j < 16; ++j) {
+            int s = nearest_int(iscale * scales[j]);
+            s = s < -32 ? -32 : (s > 31 ? 31 : s);
+            ls[j] = (uint8_t)(s + 32);
+        }
+        for (int j = 0; j < 8; ++j) packed[j] = ls[j] & 0xF;
+        for (int j = 8; j < 16; ++j) packed[j - 8] |= (uint8_t)((ls[j] & 0xF) << 4);
+        for (int j = 0; j < 16; ++j)
+            packed[8 + j % 4] |= (uint8_t)((ls[j] >> 4) << (2 * (j / 4)));
+        d16 = f32_to_f16(1.0f / iscale);
+    }
+    std::memcpy(out + 108, &d16, 2);
+    for (int j = 0; j < 16; ++j) {
+        int sc;
+        if (j < 8) sc = packed[j] & 0xF;
+        else sc = packed[j - 8] >> 4;
+        sc = (sc | (((packed[8 + j % 4] >> (2 * (j / 4))) & 3) << 4)) - 32;
+        float d_eff = f16_to_f32(d16) * sc;
+        if (d_eff == 0.f) continue;          // keep grid codes (already +4)
+        for (int l = 0; l < 16; ++l) {
+            int li = nearest_int(x[16 * j + l] / d_eff);
+            li = li < -4 ? -4 : (li > 3 ? 3 : li);
+            L[16 * j + l] = (int8_t)(li + 4);
+        }
+    }
+    uint8_t* hmask = out;
+    std::memset(hmask, 0, 32);
+    for (int i = 0; i < 256; ++i) {
+        if (L[i] > 3) {
+            hmask[i % 32] |= (uint8_t)(1 << (i / 32));
+            L[i] = (int8_t)(L[i] - 4);
+        }
+    }
+    uint8_t* qs = out + 32;
+    for (int c = 0; c < 2; ++c)
+        for (int l = 0; l < 32; ++l)
+            qs[32 * c + l] = (uint8_t)(L[128 * c + l] | (L[128 * c + 32 + l] << 2) |
+                                       (L[128 * c + 64 + l] << 4) | (L[128 * c + 96 + l] << 6));
+}
+
+static void quant_sb_q8_k(const float* x, uint8_t* out) {
+    float mx = 0.f, amax = 0.f;
+    for (int i = 0; i < 256; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; mx = x[i]; }
+    }
+    if (amax == 0.f) {
+        std::memset(out, 0, 292);
+        return;
+    }
+    float iscale = -128.f / mx;
+    int8_t* q = (int8_t*)(out + 4);
+    for (int i = 0; i < 256; ++i) {
+        int v = nearest_int(iscale * x[i]);
+        q[i] = (int8_t)(v > 127 ? 127 : v);
+    }
+    int16_t* bsums = (int16_t*)(out + 260);
+    for (int j = 0; j < 16; ++j) {
+        int s = 0;
+        for (int l = 0; l < 16; ++l) s += q[16 * j + l];
+        bsums[j] = (int16_t)s;
+    }
+    float d = 1.0f / iscale;
+    std::memcpy(out, &d, 4);
+}
+
 static void quant_rows(uint32_t dtype, const float* x, uint8_t* out, int64_t n_blocks, int threads) {
     void (*fn)(const float*, uint8_t*) = nullptr;
     int bb = kTypes[dtype].block_bytes;
+    int be = kTypes[dtype].block_elems;
     switch (dtype) {
         case 2: fn = quant_block_q4_0; break;
         case 3: fn = quant_block_q4_1; break;
         case 7: fn = quant_block_q5_0; break;
         case 8: fn = quant_block_q5_1; break;
         case 9: fn = quant_block_q8_0; break;
+        case 11: fn = quant_sb_q2_k; break;
+        case 12: fn = quant_sb_q3_k; break;
+        case 13: fn = quant_sb_q4_k; break;
+        case 14: fn = quant_sb_q5_k; break;
+        case 15: fn = quant_sb_q6_k; break;
+        case 16: fn = quant_sb_q8_k; break;
         default: return;
     }
     parallel_for(n_blocks, threads, [&](int64_t lo, int64_t hi) {
-        for (int64_t b = lo; b < hi; b++) fn(x + b * QK, out + b * bb);
+        for (int64_t b = lo; b < hi; b++) fn(x + b * be, out + b * bb);
     });
 }
 
@@ -637,10 +1113,11 @@ RN_API int rn_tensor_codes(void* h, int64_t i, int8_t* q, float* d, float* mn, i
 // Quantize an f32 buffer into `fmt` blocks (bit-exact with ggml).
 RN_API int64_t rn_quantize(const float* x, int64_t n, uint32_t dtype, uint8_t* out, int threads) {
     if (dtype >= (uint32_t)kTypeCount || kTypes[dtype].block_bytes == 0) { g_error = "bad quant dtype"; return -1; }
-    if (n % QK) { g_error = "element count not divisible by 32"; return -1; }
+    int be = kTypes[dtype].block_elems;
+    if (n % be) { g_error = "element count not divisible by block size"; return -1; }
     if (threads <= 0) threads = n_threads_default();
-    quant_rows(dtype, x, out, n / QK, threads);
-    return (n / QK) * kTypes[dtype].block_bytes;
+    quant_rows(dtype, x, out, n / be, threads);
+    return (n / be) * kTypes[dtype].block_bytes;
 }
 
 RN_API int rn_block_bytes(uint32_t dtype) {

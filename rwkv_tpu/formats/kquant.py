@@ -12,9 +12,18 @@ the reference quantizer algorithms (`make_qkx2_quants` / `make_qx_quants` /
 with ggml-produced files.
 
 Decoded values are exact per the format definition (integer codes x fp16
-scales); encoder decisions match ggml's float32 arithmetic up to summation
-order (numpy reduces pairwise; C reduces sequentially), which can flip a
-code only on exact ties of the error metric.
+scales). Encoder decisions follow ggml's float32 arithmetic IN C ELEMENT
+ORDER: all error-metric sums run sequentially (_seq_sum; numpy's pairwise
+.sum() flipped grid-search decisions on ~35% of random qkx2 sub-blocks —
+measured round 3 against the sequential-C encoder in native/rwkv_native.cpp
+before alignment), the candidate-scale grid is evaluated with two f32
+roundings like C, and make_qkx2_quants re-quantizes each candidate against
+the RUNNING best min exactly as ggml does (an earlier version used the
+initial min throughout — a real divergence, not a tie). With those three
+aligned, the Python and native C++ encoders produce BYTE-IDENTICAL blocks
+for every format on random and adversarial tie-heavy inputs
+(tests/test_kquant.py::test_python_native_encoders_byte_identical) — the
+measured flip rate between them is zero.
 
 Everything is vectorized numpy over sub-blocks; the nstep grid searches
 (15-21 candidate scales) loop in Python but evaluate all blocks at once.
@@ -60,6 +69,23 @@ def _nearest_int(x: np.ndarray) -> np.ndarray:
     return np.rint(x).astype(np.int32)
 
 
+def _seq_sum(a: np.ndarray) -> np.ndarray:
+    """Sequential (C element-order) f32 summation over the LAST axis.
+
+    ggml's quantizers accumulate error metrics in C loop order; numpy's
+    .sum() uses pairwise summation, which differs in final ulps — enough to
+    flip grid-search decisions (measured on N(0,0.4) random rows before this
+    helper existed: Q4_K 54/64 super-blocks had at least one +-1 code flip
+    vs the sequential-order C encoder; Q3_K/Q8_K had zero). All decision
+    sums below use this helper so the Python and native C++ encoders are
+    byte-identical, and both follow ggml's arithmetic order."""
+    a = a.astype(np.float32, copy=False)
+    s = a[..., 0].copy()
+    for i in range(1, a.shape[-1]):
+        s += a[..., i]
+    return s
+
+
 def _f16(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float32).astype(np.float16)
 
@@ -90,8 +116,8 @@ def _make_qkx2_quants(X, W, nmax, rmin, rdelta, nstep, use_mad):
     W = W.astype(np.float32)
     mn = np.minimum(X.min(axis=1), np.float32(0.0))
     mx = X.max(axis=1)
-    sum_w = W.sum(axis=1, dtype=np.float32)
-    sum_x = (W * X).sum(axis=1, dtype=np.float32)
+    sum_w = _seq_sum(W)
+    sum_x = _seq_sum(W * X)
 
     degenerate = mx == mn
     rng = np.where(degenerate, np.float32(1.0), mx - mn)  # avoid /0; masked later
@@ -101,16 +127,26 @@ def _make_qkx2_quants(X, W, nmax, rmin, rdelta, nstep, use_mad):
     L = np.clip(_nearest_int(iscale[:, None] * (X - mn[:, None])), 0, nmax).astype(np.uint8)
     diff = scale[:, None] * L + mn[:, None] - X
     err = np.abs(diff) if use_mad else diff * diff
-    best_mad = (W * err).sum(axis=1, dtype=np.float32)
+    best_mad = _seq_sum(W * err)
 
     cur_min = mn
     for is_ in range(nstep + 1):
-        isc = (np.float32(rmin + rdelta * is_) + np.float32(nmax)) / rng
-        Laux = np.clip(_nearest_int(isc[:, None] * (X - mn[:, None])), 0, nmax)
+        # f32 ARITHMETIC order matters: C computes rmin + rdelta*is in
+        # float (two f32 roundings); a single f64->f32 rounding differs in
+        # ulps and shifts the candidate grid
+        base = np.float32(rmin) + np.float32(rdelta) * np.float32(is_)
+        # ggml updates `min` on every improvement and quantizes subsequent
+        # candidates AGAINST THE UPDATED MIN (both in the iscale denominator
+        # and in x - min) — an earlier version of this function kept the
+        # initial min for all steps, diverging from the C encoder on ~1/3 of
+        # random sub-blocks
+        rng_c = np.where(degenerate, np.float32(1.0), mx - cur_min)
+        isc = (base + np.float32(nmax)) / rng_c
+        Laux = np.clip(_nearest_int(isc[:, None] * (X - cur_min[:, None])), 0, nmax)
         lf = Laux.astype(np.float32)
-        sum_l = (W * lf).sum(axis=1, dtype=np.float32)
-        sum_l2 = (W * lf * lf).sum(axis=1, dtype=np.float32)
-        sum_xl = (W * lf * X).sum(axis=1, dtype=np.float32)
+        sum_l = _seq_sum(W * lf)
+        sum_l2 = _seq_sum(W * lf * lf)
+        sum_xl = _seq_sum(W * lf * X)
         D = sum_w * sum_l2 - sum_l * sum_l
         with np.errstate(divide="ignore", invalid="ignore"):
             this_scale = (sum_w * sum_xl - sum_x * sum_l) / D
@@ -121,7 +157,7 @@ def _make_qkx2_quants(X, W, nmax, rmin, rdelta, nstep, use_mad):
             this_scale = np.where(pos, alt, this_scale)
         diff = this_scale[:, None] * lf + this_min[:, None] - X
         err = np.abs(diff) if use_mad else diff * diff
-        mad = (W * err).sum(axis=1, dtype=np.float32)
+        mad = _seq_sum(W * err)
         improved = (D > 0) & (mad < best_mad)
         L = np.where(improved[:, None], Laux.astype(np.uint8), L)
         best_mad = np.where(improved, mad, best_mad)
@@ -150,8 +186,8 @@ def _make_qx_quants(X, nmax, rmse_type=1):
     def eval_iscale(isc):
         Lc = np.clip(_nearest_int(isc[:, None] * X), -nmax, nmax - 1)
         lf = Lc.astype(np.float32)
-        sumlx = (W * X * lf).sum(axis=1, dtype=np.float32)
-        suml2 = (W * lf * lf).sum(axis=1, dtype=np.float32)
+        sumlx = _seq_sum(W * X * lf)
+        suml2 = _seq_sum(W * lf * lf)
         return Lc, sumlx, suml2
 
     iscale = np.float32(-nmax) / mx_safe
@@ -196,8 +232,8 @@ def _make_q3_quants(X, nmax, do_rmse=True):
     assert do_rmse
     W = X * X
     L = np.clip(_nearest_int(iscale[:, None] * X), -nmax, nmax - 1).astype(np.float32)
-    sumlx = (W * X * L).sum(axis=1, dtype=np.float32)
-    suml2 = (W * L * L).sum(axis=1, dtype=np.float32)
+    sumlx = _seq_sum(W * X * L)
+    suml2 = _seq_sum(W * L * L)
     for _ in range(5):
         n_changed = np.zeros(X.shape[0], dtype=bool)
         for i in range(n):
@@ -269,7 +305,7 @@ def _unpack_scales_k4(scales: np.ndarray):
 
 def _subblock_weights(b8: np.ndarray) -> np.ndarray:
     """ggml Q4_K/Q5_K sub-block weights: av_x + |x| with av_x = sqrt(mean(x^2))."""
-    av_x = np.sqrt((b8 * b8).sum(axis=2, dtype=np.float32) / np.float32(32.0))
+    av_x = np.sqrt(_seq_sum(b8 * b8) / np.float32(32.0))
     return av_x[:, :, None] + np.abs(b8)
 
 
@@ -284,8 +320,11 @@ def quantize_q4_k(x: np.ndarray) -> bytes:
     scales = scale.reshape(nsb, 8)
     mins = the_min.reshape(nsb, 8)
 
-    max_scale = scales.max(axis=1)
-    max_min = mins.max(axis=1)
+    # C accumulates max_scale/max_min via `>` from 0: never negative, and
+    # +0.0 (not -0.0) when all candidates are zero — the fp16 sign bit of
+    # d/dmin must match byte-for-byte
+    max_scale = np.where(scales.max(axis=1) > 0, scales.max(axis=1), np.float32(0.0))
+    max_min = np.where(mins.max(axis=1) > 0, mins.max(axis=1), np.float32(0.0))
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_scale = np.where(max_scale > 0, np.float32(63.0) / max_scale, np.float32(0.0))
         inv_min = np.where(max_min > 0, np.float32(63.0) / max_min, np.float32(0.0))
@@ -347,8 +386,11 @@ def quantize_q5_k(x: np.ndarray) -> bytes:
     scales = scale.reshape(nsb, 8)
     mins = the_min.reshape(nsb, 8)
 
-    max_scale = scales.max(axis=1)
-    max_min = mins.max(axis=1)
+    # C accumulates max_scale/max_min via `>` from 0: never negative, and
+    # +0.0 (not -0.0) when all candidates are zero — the fp16 sign bit of
+    # d/dmin must match byte-for-byte
+    max_scale = np.where(scales.max(axis=1) > 0, scales.max(axis=1), np.float32(0.0))
+    max_min = np.where(mins.max(axis=1) > 0, mins.max(axis=1), np.float32(0.0))
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_scale = np.where(max_scale > 0, np.float32(63.0) / max_scale, np.float32(0.0))
         inv_min = np.where(max_min > 0, np.float32(63.0) / max_min, np.float32(0.0))
