@@ -38,8 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 QK = 32
 
 # Tunable (OT, IT) tile override for the decode regime (T <= 64), applied
-# when the caller passes tiles=None. Module-level so on-chip autotuning can
-# flip it; jit caches trace-time reads, so clear caches after changing it.
+# when the caller passes tiles=None. Module-level so ops/autotune.py's
+# on-chip sweep can flip it; jit caches trace-time reads, so clear caches
+# after changing it (the autotuner does). v5e sweep round 3: the built-in
+# heuristic (None -> OT=512, IT=2048) won for int8 and int4 alike
+# (docs/KERNELS.md).
 DECODE_TILES = None
 
 

@@ -282,3 +282,16 @@ def test_qmm_i4_bf16_interior_default():
         y_bf = np.asarray(qmm.qmm_i4(x, packed, d, bias=8))
     scale = np.abs(y_ref).mean() + 1e-6
     assert np.max(np.abs(y_bf - y_ref)) / scale < 0.05
+
+
+def test_autotuner_smoke():
+    """The decode-tile autotuner sweeps candidates at model level, ranks
+    them, and applies the winner to the module knob (restores on apply=False)."""
+    from rwkv_tpu.ops import autotune, qmm
+
+    prev = qmm.DECODE_TILES_I4
+    res = autotune.autotune_decode_tiles(
+        mode="int4", n_embed=512, n_layer=2, batch=2, steps=2, reps=1,
+        candidates=[None, (128, 256)], apply=False, verbose=False)
+    assert len(res) == 2 and res[0][1] >= res[1][1]
+    assert qmm.DECODE_TILES_I4 == prev
