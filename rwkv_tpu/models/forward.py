@@ -58,7 +58,7 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
         if r.shape[1] >= 16:
             from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_batched
 
-            return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid)
+            return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid, lw=lw)
         return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
     if r.shape[0] >= 16:
         # single-stream prefill: chunk-parallel form (MXU matmuls per chunk);
@@ -74,7 +74,7 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
             return out[0], st[0]
         from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_masked
 
-        return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid)
+        return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid, lw=lw)
     return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
 
 
@@ -126,7 +126,7 @@ def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
         if r.shape[1] >= 16:
             from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_batched
 
-            return wkv6_chunked_batched(r, k, v, tf, w, heads, valid)
+            return wkv6_chunked_batched(r, k, v, tf, w, heads, valid, lw=lw)
         return wkv_ops.wkv56_batched(r, k, v, tf, w, heads, valid)
     if r.shape[0] >= 16:
         if _use_pallas(pallas) and on_tpu:
@@ -139,7 +139,7 @@ def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
             return out[0], st[0]
         from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_masked
 
-        return wkv6_chunked_masked(r, k, v, tf, w, heads, valid)
+        return wkv6_chunked_masked(r, k, v, tf, w, heads, valid, lw=lw)
     return wkv_ops.wkv56(r, k, v, tf, w, heads, valid)
 
 
@@ -197,16 +197,31 @@ def state_from_buffer(cfg: ModelConfig, buf) -> dict:
 # shared pieces
 # ---------------------------------------------------------------------------
 
+def _act_dtype(emb):
+    """Activation dtype for the residual stream: follows the embedding's
+    storage dtype — bf16 in TPU fast/serving mode (halves the HBM traffic of
+    every materialized intermediate; the MXU dot rounds operands to bf16 at
+    DEFAULT precision anyway), true f32 in parity mode (the reference's
+    numerics; every cast below is then a no-op). Recurrent state stays f32
+    regardless (byte-compatible state buffers, rwkv.h:106-108)."""
+    return jnp.bfloat16 if emb.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _token_shift(x_ln, carry_xx, length):
     """x_prev[t] = x_ln[t-1] with the recurrent carry at t=0; returns
-    (x_prev, new_carry = x_ln[length-1]) (rwkv_carry_x, rwkv_graph.inc:56-82)."""
-    x_prev = jnp.concatenate([carry_xx[None, :], x_ln[:-1]], axis=0)
-    new_xx = jax.lax.dynamic_index_in_dim(x_ln, length - 1, axis=0, keepdims=False)
+    (x_prev, new_carry = x_ln[length-1]) (rwkv_carry_x, rwkv_graph.inc:56-82).
+    The carry is read in the activation dtype and stored back as f32 (state
+    buffers are f32)."""
+    x_prev = jnp.concatenate([carry_xx.astype(x_ln.dtype)[None, :], x_ln[:-1]], axis=0)
+    new_xx = jax.lax.dynamic_index_in_dim(x_ln, length - 1, axis=0,
+                                          keepdims=False).astype(jnp.float32)
     return x_prev, new_xx
 
 
 def _lerp_mix(x, x_prev, mix):
-    # x*mix + x_prev*(1-mix), written as in the reference graph
+    # x*mix + x_prev*(1-mix), written as in the reference graph; the mix
+    # vector follows the activation dtype (no-op in parity mode)
+    mix = mix.astype(x.dtype)
     return x * mix + (x_prev - x_prev * mix)
 
 
@@ -301,18 +316,20 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
 def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
     sx = x_prev - x_ln
-    xxx = x_ln + sx * lp["maa_x"]
+    xxx = x_ln + sx * lp["maa_x"].astype(x_ln.dtype)
     five = jnp.tanh(matmul(xxx, lp["tm_w1"]))                    # (..., T, 5K)
     five = five.reshape(*five.shape[:-1], 5, -1)                 # (..., T, 5, K)
     # tiny (K=32) contraction: keep true-f32 on TPU for oracle parity
     mixes = jnp.einsum("...ik,ike->i...e", five, lp["tm_w2"],
                        precision=jax.lax.Precision.HIGHEST)      # (5, ..., T, E)
     mw, mk, mv, mr, mg = mixes
-    xw = x_ln + (mw + lp["maa_w"]) * sx
-    xk = x_ln + (mk + lp["maa_k"]) * sx
-    xv = x_ln + (mv + lp["maa_v"]) * sx
-    xr = x_ln + (mr + lp["maa_r"]) * sx
-    xg = x_ln + (mg + lp["maa_g"]) * sx
+    # xw stays f32 (it feeds the decay low-rank whose output is the wkv
+    # log-decay); the other four are dot operands — activation dtype
+    xw = x_ln.astype(jnp.float32) + (mw + lp["maa_w"]) * sx.astype(jnp.float32)
+    xk = (x_ln + ((mk + lp["maa_k"]) * sx).astype(x_ln.dtype))
+    xv = (x_ln + ((mv + lp["maa_v"]) * sx).astype(x_ln.dtype))
+    xr = (x_ln + ((mr + lp["maa_r"]) * sx).astype(x_ln.dtype))
+    xg = (x_ln + ((mg + lp["maa_g"]) * sx).astype(x_ln.dtype))
     rr, kk_, vv_, gp = _rkvg(lp, xr, xk, xv, xg)
     r, k, v = _heads(rr, H, S), _heads(kk_, H, S), _heads(vv_, H, S)
     g = jax.nn.silu(gp)
@@ -334,7 +351,8 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
             pallas=None, step=False):
     H, S = cfg.head_count, cfg.head_size
     sx = x_prev - x_ln                                          # (..., T, E)
-    mix = lp["x_rwkvag"].reshape((6,) + (1,) * (x_ln.ndim - 1) + (x_ln.shape[-1],))
+    mix = lp["x_rwkvag"].reshape(
+        (6,) + (1,) * (x_ln.ndim - 1) + (x_ln.shape[-1],)).astype(x_ln.dtype)
     xxx = sx[None] * mix + x_ln[None]                           # (6, ..., T, E)
     xr, xw, xk, xv, xa, xg = xxx
 
@@ -385,8 +403,8 @@ def _ffn_v4_v5(lp, x_ln, x_prev):
 
 def _ffn_v6(lp, x_ln, x_prev):
     sx = x_prev - x_ln
-    xk = x_ln + sx * lp["ffn_maa_k"]
-    xr = x_ln + sx * lp["ffn_maa_r"]
+    xk = x_ln + sx * lp["ffn_maa_k"].astype(x_ln.dtype)
+    xr = x_ln + sx * lp["ffn_maa_r"].astype(x_ln.dtype)
     r = jax.nn.sigmoid(matmul(xr, lp["ffn_r"]))
     k = jnp.square(jax.nn.relu(matmul(xk, lp["ffn_k"])))
     return r * matmul(k, lp["ffn_v"])
@@ -394,7 +412,7 @@ def _ffn_v6(lp, x_ln, x_prev):
 
 def _ffn_v7(lp, x_ln, x_prev):
     sx = x_prev - x_ln
-    xk = x_ln + sx * lp["ffn_x_k"]
+    xk = x_ln + sx * lp["ffn_x_k"].astype(x_ln.dtype)
     k = jnp.square(jax.nn.relu(matmul(xk, lp["ffn_k"])))
     return matmul(k, lp["ffn_v"])
 
@@ -412,10 +430,10 @@ def _stack_single(params, cfg: ModelConfig, tokens, state, length, pallas):
     major = cfg.version_major
 
     emb = params["emb"]
-    x = emb[tokens].astype(jnp.float32)
+    x = emb[tokens].astype(_act_dtype(emb))
     x = layer_norm(x, params["ln0_w"], params["ln0_b"])
 
-    v_first0 = jnp.zeros_like(x)
+    v_first0 = jnp.zeros(x.shape, jnp.float32)
 
     def layer_fn(carry, xs):
         x, v_first = carry
@@ -438,7 +456,7 @@ def _stack_single(params, cfg: ModelConfig, tokens, state, length, pallas):
                 lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg, pallas
             )
             new_st = {"att_xx": att_xx, "heads": heads}
-        x = x + att_out
+        x = x + att_out.astype(x.dtype)
 
         x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
         x_prev2, ffn_xx = _token_shift(x_ln2, st["ffn_xx"], length)
@@ -448,7 +466,7 @@ def _stack_single(params, cfg: ModelConfig, tokens, state, length, pallas):
             ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
         else:
             ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
-        x = x + ffn_out
+        x = x + ffn_out.astype(x.dtype)
 
         new_st["ffn_xx"] = ffn_xx
         return (x, v_first), new_st
@@ -563,9 +581,9 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
     step (at B=128 on a 1.5B model those copies cost more than the weights)."""
     major = cfg.version_major
 
-    x = params["emb"][tokens].astype(jnp.float32)          # (B, E)
+    x = params["emb"][tokens].astype(_act_dtype(params["emb"]))    # (B, E)
     x = layer_norm(x, params["ln0_w"], params["ln0_b"])
-    v_first0 = jnp.zeros_like(x)
+    v_first0 = jnp.zeros(x.shape, jnp.float32)
 
     if layer_major:
         st_layers = state
@@ -593,7 +611,7 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
         lp = {**vecs, **{k: linear_mod.at_layer(v, idx) for k, v in weights.items()}}
 
         x_ln1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"])
-        x_prev1, att_xx = st["att_xx"], x_ln1
+        x_prev1, att_xx = st["att_xx"].astype(x_ln1.dtype), x_ln1.astype(jnp.float32)
 
         if major == 4:
             att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, None, step=True)
@@ -609,17 +627,17 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
                 lp, x_ln1, x_prev1, st["heads"], v_first, idx, None, cfg, step=True
             )
             new_st = {"att_xx": att_xx, "heads": heads}
-        x = x + att_out
+        x = x + att_out.astype(x.dtype)
 
         x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
-        x_prev2, ffn_xx = st["ffn_xx"], x_ln2
+        x_prev2, ffn_xx = st["ffn_xx"].astype(x_ln2.dtype), x_ln2.astype(jnp.float32)
         if major == 7:
             ffn_out = _ffn_v7(lp, x_ln2, x_prev2)
         elif major == 6:
             ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
         else:
             ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
-        x = x + ffn_out
+        x = x + ffn_out.astype(x.dtype)
 
         new_st["ffn_xx"] = ffn_xx
         return (x, v_first), new_st
@@ -646,10 +664,11 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
 
 def _token_shift_batched(x_ln, carry_xx, lengths):
     """x_ln (B, T, E); carry_xx (B, E); returns (x_prev, new_carry) with the
-    carry taken at each stream's last *valid* position."""
-    x_prev = jnp.concatenate([carry_xx[:, None, :], x_ln[:, :-1]], axis=1)
+    carry taken at each stream's last *valid* position. Carry read in the
+    activation dtype, stored back f32 (state buffers are f32)."""
+    x_prev = jnp.concatenate([carry_xx.astype(x_ln.dtype)[:, None, :], x_ln[:, :-1]], axis=1)
     idx = jnp.broadcast_to((lengths - 1)[:, None, None], (x_ln.shape[0], 1, x_ln.shape[-1]))
-    new_xx = jnp.take_along_axis(x_ln, idx, axis=1)[:, 0]
+    new_xx = jnp.take_along_axis(x_ln, idx, axis=1)[:, 0].astype(jnp.float32)
     return x_prev, new_xx
 
 
@@ -695,7 +714,7 @@ def run_layers_batched(layers, cfg: ModelConfig, x, st_layers, lengths, valid,
                 lp, x_ln1, x_prev1, st["heads"], v_first, idx, valid, cfg, pallas
             )
             new_st = {"att_xx": att_xx, "heads": heads}
-        x = x + att_out
+        x = x + att_out.astype(x.dtype)
 
         x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
         x_prev2, ffn_xx = _token_shift_batched(x_ln2, st["ffn_xx"], lengths)
@@ -705,7 +724,7 @@ def run_layers_batched(layers, cfg: ModelConfig, x, st_layers, lengths, valid,
             ffn_out = _ffn_v6(lp, x_ln2, x_prev2)
         else:
             ffn_out = _ffn_v4_v5(lp, x_ln2, x_prev2)
-        x = x + ffn_out
+        x = x + ffn_out.astype(x.dtype)
 
         new_st["ffn_xx"] = ffn_xx
         return (x, v_first), new_st
@@ -748,9 +767,9 @@ def forward_seq(
     B, T = tokens.shape
     valid = jnp.arange(T)[None, :] < lengths[:, None]           # (B, T)
 
-    x = params["emb"][tokens].astype(jnp.float32)               # (B, T, E)
+    x = params["emb"][tokens].astype(_act_dtype(params["emb"]))  # (B, T, E)
     x = layer_norm(x, params["ln0_w"], params["ln0_b"])
-    v_first0 = jnp.zeros_like(x)
+    v_first0 = jnp.zeros(x.shape, jnp.float32)
 
     st_layers = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
 

@@ -62,7 +62,7 @@ class Linear:
         if self.kind == "quant":
             *_, o, nb, _ = self.q.shape
             return (nb * QK, o)
-        if self.kind in ("qfast", "w8a8"):  # q is contraction-major (in, out)
+        if self.kind in ("qfast", "w8a8", "s4fast"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
         if self.kind == "q4fast":           # q is (in/2, out) packed nibbles
@@ -223,8 +223,12 @@ def _matmul_quant_parity(x, lin: Linear):
 
 
 def matmul(x, lin: Linear):
-    """y = x @ W with W logically (in, out); x is (..., in) f32."""
-    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast"):
+    """y = x @ W with W logically (in, out); x is (..., in) f32 or bf16
+    (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
+    and parity int-dot take f32, so those branches upcast)."""
+    if lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w8a8"):
+        x = x.astype(jnp.float32)
+    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "s4fast"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
@@ -287,6 +291,19 @@ def matmul(x, lin: Linear):
         if use_kernel:
             return qmm.qmm(x, lin.q, lin.d, lin.m, group=g)
         return qmm.qmm_reference(x, lin.q, lin.d, lin.m, group=g)
+    if lin.kind == "s4fast":
+        # experimental native-s4 serving layout: q (L, in, out) jnp.int4,
+        # signed codes, value = code * d (see qmm.py s4 section)
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        inn, out = lin.q.shape[-2], lin.q.shape[-1]
+        if (lin.layer is not None and jax.default_backend() == "tpu"
+                and qmm.aligned_for_kernel(inn, out, g)):
+            return qmm.qmm_s4_stacked(x, lin.q, lin.d, lin.layer, group=g)
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        return qmm.qmm_reference(x, q.astype(jnp.int8), d, None, group=g)
     if lin.kind == "q4fast":
         from rwkv_tpu.ops import qmm
 
@@ -349,7 +366,7 @@ def matmul_multi(xs: list, lin: Linear):
     at_layer). Returns the list of N outputs (..., Eo)."""
     n = len(xs)
     lead = xs[0].shape[:-1]
-    x2 = [x.reshape(-1, x.shape[-1]) for x in xs]
+    x2 = [x.reshape(-1, x.shape[-1]).astype(jnp.float32) for x in xs]
     from rwkv_tpu.ops import qmm
 
     inn, out = lin.shape
@@ -362,6 +379,9 @@ def matmul_multi(xs: list, lin: Linear):
         y = qmm.qmm_i4_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n,
             bias=i4_bias(lin.fmt), group=group_of(lin.fmt))
+    elif lin.kind == "s4fast" and use_kernel:
+        y = qmm.qmm_s4_stacked_multi(
+            jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
     elif lin.kind == "qfast" and use_kernel:
         y = qmm.qmm_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))

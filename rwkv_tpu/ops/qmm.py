@@ -397,6 +397,12 @@ def _i4_planes(q, bias, compute):
         # through i8 (values <= 15, exact) the way the int8 kernel converts
         lo = (q & jnp.uint8(15)).astype(jnp.int8).astype(compute) - bias
         hi = (q >> jnp.uint8(4)).astype(jnp.int8).astype(compute) - bias
+    elif I4_UNPACK == "i16":
+        # 16-bit ALU domain: twice the vector width of i32 if Mosaic keeps
+        # the ops at native 16-bit packing
+        qi = q.astype(jnp.int16)
+        lo = ((qi & jnp.int16(15)) - jnp.int16(bias)).astype(compute)
+        hi = ((qi >> jnp.int16(4)) - jnp.int16(bias)).astype(compute)
     else:
         qi = q.astype(jnp.int32)
         lo = ((qi & 15) - bias).astype(compute)
@@ -627,6 +633,139 @@ def qmm_i4_stacked_multi(xs, q, d, layer, n_parts: int, bias: int = 8,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
     )(jnp.asarray(layer, jnp.int32).reshape(1), xs, xs, q, d, d)
+
+
+# ---------------------------------------------------------------------------
+# Native-s4 variants: q stored as a jnp.int4 array (XLA packs 2 codes/byte in
+# HBM — same bytes-on-the-bus as the half-split layout) and the *hardware*
+# unpack happens inside Mosaic's s4->f32 convert, replacing the half-split
+# kernels' explicit widen/mask/shift/convert chain (~6 VPU ops/element, which
+# co-limits those kernels with DMA). Codes are signed (-8..7): Q4_0-class
+# values are code * d with no bias term.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_s4_stacked_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *,
+                           group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (IT, OT) int4
+    it, ot = q.shape
+    nb = it // group
+
+    def expand(s):
+        return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(it, ot)
+
+    w = q.astype(jnp.float32) * expand(d_ref[0])
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm_s4_stacked(x, q, d, layer, group: int = QK, out_dtype=jnp.float32,
+                   tiles=None):
+    """Layer-stacked fused dequant-matmul on native s4 codes: q (L, in, out)
+    jnp.int4, d (L, in//group, out) f32, layer a traced scalar."""
+    t, inn = x.shape
+    out = q.shape[2]
+    _check_aligned(inn, out, group)
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((TT, IT), lambda r, o, i, l: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_s4_stacked_kernel, group=group, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, d)
+
+
+def _qmm_s4_stacked_multi_kernel(l_ref, x_ref, q_ref, d_ref, o_ref, acc_ref, *,
+                                 group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    it, ot = q.shape
+    nb = it // group
+
+    def expand(s):
+        return jnp.broadcast_to(s[:, None, :], (nb, group, ot)).reshape(it, ot)
+
+    w = q.astype(jnp.float32) * expand(d_ref[0])
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0], w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype", "tiles"))
+def qmm_s4_stacked_multi(xs, q, d, layer, n_parts: int, group: int = QK,
+                         out_dtype=jnp.float32, tiles=None):
+    """N projections through one native-s4 kernel pipeline: xs (N, T, in),
+    q (L, in, N*Eo) jnp.int4 signed codes, d (L, in//group, N*Eo) f32.
+    Same fusion trick as qmm_stacked_multi. Returns (T, N*Eo)."""
+    n, t, inn = xs.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    _check_aligned(inn, out, group)
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(eo, tiles[0] if tiles else 512)   # tiles never span parts
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+    per = eo // OT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((1, TT, IT), lambda r, o, i, l, per=per: (o // per, r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_s4_stacked_multi_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q, d)
 
 
 def qmm_i4_reference(x, q, d, m=None, bias: int = 8, group: int = QK):

@@ -54,13 +54,17 @@ def _neumann_inv(m):
 
 
 def _chunk_step(s0, chunk):
-    """One chunk for all heads. s0: (H, Sv, Sk); chunk arrays: (C, H, S)."""
-    r, w, k, v, a, b = chunk
-    C = r.shape[0]
-    # head-major layout for batched matmuls: (H, C, S)
-    r, w, k, v, a, b = (jnp.swapaxes(x, 0, 1) for x in (r, w, k, v, a, b))
+    """One chunk for all heads. s0: (H, Sv, Sk); chunk arrays: (H, C, S)
+    head-major — the layout every einsum here consumes. Callers fold to this
+    layout ONCE (see _fold_bh); an earlier version folded (C, H, S) chunks
+    and transposed all six operands per chunk, which cost two full copies of
+    every operand per layer (~47 ms/call of pure relayout at B=8 T=512 on a
+    1.5B model — the single largest non-MXU term in the prefill profile).
+    Takes log-decay lw directly (callers have it for free; recomputing
+    log(exp(lw)) cost two more full-tensor transcendental passes)."""
+    r, lw, k, v, a, b = chunk
+    C = r.shape[1]
 
-    lw = jnp.log(w)
     L = jnp.cumsum(lw, axis=1)                 # (H, C, S)
     lam_inv = jnp.exp(-L)
     khat = k * lam_inv
@@ -102,20 +106,29 @@ def _chunk_step(s0, chunk):
         + jnp.einsum("hvc,hck->hvk", vt, khat, preferred_element_type=jnp.float32)
     ) * lam_c[:, None, :]
 
-    return s_c, jnp.transpose(out, (2, 0, 1))  # out back to (C, H, Sv)
+    return s_c, jnp.swapaxes(out, 1, 2)        # out (H, C, Sv)
+
+
+def _chunks_hm(x, chunk):
+    """(T, H, S) -> (n, H, C, S) head-major chunks in one relayout."""
+    T, H, S = x.shape
+    n = T // chunk
+    return x.reshape(n, chunk, H, S).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = CHUNK):
+def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = CHUNK, lw=None):
     """Chunk-parallel wkv7: r/w/k/v/a/b (T, H, S) f32, state (H, S, S).
     T must be a multiple of `chunk` (callers pad; padding with w=1 and
-    k=v=a=b=0 is an exact no-op on the state)."""
+    k=v=a=b=0 is an exact no-op on the state). Pass lw = log(w) when the
+    caller already has it (forward.py does — w itself is then unused)."""
     T, H, S = r.shape
     assert T % chunk == 0, f"T={T} not a multiple of chunk={chunk}"
-    n = T // chunk
-    xs = tuple(x.reshape(n, chunk, H, S).astype(jnp.float32) for x in (r, w, k, v, a, b))
+    lw = jnp.log(w) if lw is None else lw
+    xs = tuple(_chunks_hm(x.astype(jnp.float32), chunk)
+               for x in (r, lw, k, v, a, b))
     state, out = jax.lax.scan(_chunk_step, state.astype(jnp.float32), xs)
-    return out.reshape(T, H, S), state
+    return out.transpose(0, 2, 1, 3).reshape(T, H, S), state
 
 
 # ---------------------------------------------------------------------------
@@ -131,11 +144,9 @@ def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = CHUNK):
 
 def _chunk6_step(carry, chunk_arrs):
     s0, tf = carry                              # s0: (H, Sk, Sv); tf: (H, S)
-    r, k, v, w = chunk_arrs                     # (C, H, S)
-    C = r.shape[0]
-    r, k, v, w = (jnp.swapaxes(x, 0, 1) for x in (r, k, v, w))  # (H, C, S)
+    r, k, v, lw = chunk_arrs                    # (H, C, S) head-major
+    C = r.shape[1]
 
-    lw = jnp.log(w)
     L = jnp.cumsum(lw, axis=1)
     Lprev = L - lw
 
@@ -161,24 +172,26 @@ def _chunk6_step(carry, chunk_arrs):
     s_c = s0 * lam_c[:, :, None] + jnp.einsum(
         "hsi,hsv->hiv", k_dec, v, preferred_element_type=jnp.float32
     )
-    return (s_c, tf), jnp.swapaxes(out, 0, 1)   # out -> (C, H, Sv)
+    return (s_c, tf), out                       # out (H, C, Sv) head-major
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def wkv6_chunked(r, k, v, tf, w, state, chunk: int = CHUNK):
+def wkv6_chunked(r, k, v, tf, w, state, chunk: int = CHUNK, lw=None):
     """Chunk-parallel wkv6/wkv5: r/k/v/w (T, H, S) f32; tf (H, S);
-    state (H, S, S) indexed [k_dim, v_dim]. T must be a chunk multiple."""
+    state (H, S, S) indexed [k_dim, v_dim]. T must be a chunk multiple.
+    Pass lw = log(w) when the caller has it (v6 computes the decay as
+    -exp(.), so its log is free; w is then unused)."""
     T, H, S = r.shape
     assert T % chunk == 0
-    n = T // chunk
-    xs = tuple(x.reshape(n, chunk, H, S).astype(jnp.float32) for x in (r, k, v, w))
+    lw = jnp.log(w) if lw is None else lw
+    xs = tuple(_chunks_hm(x.astype(jnp.float32), chunk) for x in (r, k, v, lw))
     (state, _), out = jax.lax.scan(
         _chunk6_step, (state.astype(jnp.float32), tf.astype(jnp.float32)), xs
     )
-    return out.reshape(T, H, S), state
+    return out.transpose(0, 2, 1, 3).reshape(T, H, S), state
 
 
-def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
+def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int = CHUNK, lw=None):
     """Padding-safe wrapper matching ops/wkv.py::wkv56's signature."""
     T, H, S = r.shape
     Tp = ((T + chunk - 1) // chunk) * chunk
@@ -193,13 +206,16 @@ def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
 
     out, st = wkv6_chunked(
         padded(r, 0.0), padded(k, 0.0), padded(v, 0.0), tf,
-        padded(w, 1.0), state, chunk=chunk
+        w, state, chunk=chunk,
+        lw=padded(jnp.log(w) if lw is None else lw, 0.0),
     )
     return out[:T], st
 
 
 def _fold_batch(x, fill, valid, chunk):
-    """(B, T, H, S) + valid (B, T) -> masked, T-padded, (Tp, B*H, S)."""
+    """(B, T, H, S) + valid (B, T) -> masked, T-padded, (Tp, B*H, S).
+    Layout consumed by the opt-in Pallas chunk kernels (ops/pallas_wkv.py);
+    the XLA chunked path uses _fold_bh below (one relayout, head-major)."""
     B, T, H, S = x.shape
     m = valid[:, :, None, None].astype(x.dtype)
     x = x * m + fill * (1 - m)
@@ -209,35 +225,62 @@ def _fold_batch(x, fill, valid, chunk):
     return jnp.swapaxes(x, 0, 1).reshape(Tp, B * H, S)
 
 
-def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
+def _fold_bh(x, fill, valid, chunk):
+    """(B, T, H, S) + valid (B, T) -> (n, B*H, C, S): masked, T-padded,
+    head-major chunks — the layout _chunk_step consumes — in ONE relayout.
+    (The previous fold went through (Tp, B*H, S) plus a per-chunk
+    (C, H, S) -> (H, C, S) transpose inside the scan: two full copies of
+    every operand per layer, ~47 ms/call of pure data movement at
+    B=8 T=512 on a 1.5B model.)"""
+    B, T, H, S = x.shape
+    m = valid[:, :, None, None].astype(x.dtype)
+    x = x * m + fill * (1 - m)
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    if Tp != T:
+        x = jnp.concatenate([x, jnp.full((B, Tp - T, H, S), fill, x.dtype)], axis=1)
+    n = Tp // chunk
+    return (x.reshape(B, n, chunk, H, S).transpose(1, 0, 3, 2, 4)
+             .reshape(n, B * H, chunk, S))
+
+
+def _unfold_bh(out, B, T, H, S):
+    """Scan output (n, B*H, C, Sv) -> (B, T, H, Sv)."""
+    n, _, C, Sv = out.shape
+    return (out.reshape(n, B, H, C, Sv).transpose(1, 0, 3, 2, 4)
+               .reshape(B, n * C, H, Sv)[:, :T])
+
+
+def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int = CHUNK,
+                         lw=None):
     """Natively batched chunked wkv7: fold (B, H) into the head axis so the
     whole batch runs as ONE chunked scan (no vmap — a vmapped kernel would
     re-batch every internal matmul). Shapes: r.. (B, T, H, S);
-    state (B, H, Sv, Sk); valid (B, T)."""
+    state (B, H, Sv, Sk); valid (B, T). lw = log(w) if the caller has it."""
     B, T, H, S = r.shape
-    out, st = wkv7_chunked(
-        _fold_batch(r, 0.0, valid, chunk), _fold_batch(w, 1.0, valid, chunk),
-        _fold_batch(k, 0.0, valid, chunk), _fold_batch(v, 0.0, valid, chunk),
-        _fold_batch(a, 0.0, valid, chunk), _fold_batch(b, 0.0, valid, chunk),
-        state.reshape(B * H, S, S), chunk=chunk,
-    )
-    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
-    return out, st.reshape(B, H, S, S)
+    lw = jnp.log(w) if lw is None else lw
+    xs = tuple(_fold_bh(x.astype(jnp.float32), f, valid, chunk)
+               for x, f in ((r, 0.0), (lw, 0.0), (k, 0.0), (v, 0.0),
+                            (a, 0.0), (b, 0.0)))
+    st, out = jax.lax.scan(_chunk_step,
+                           state.reshape(B * H, S, S).astype(jnp.float32), xs)
+    return _unfold_bh(out, B, T, H, S), st.reshape(B, H, S, S)
 
 
-def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int = CHUNK):
+def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int = CHUNK,
+                         lw=None):
     """Batched chunked wkv6/wkv5 via (B, H) folding; tf (H, S) broadcasts
     across streams. state (B, H, Sk, Sv); valid (B, T)."""
     B, T, H, S = r.shape
     tf_b = jnp.broadcast_to(tf, (B, H, S)).reshape(B * H, S)
-    out, st = wkv6_chunked(
-        _fold_batch(r, 0.0, valid, chunk), _fold_batch(k, 0.0, valid, chunk),
-        _fold_batch(v, 0.0, valid, chunk), tf_b,
-        _fold_batch(w, 1.0, valid, chunk),
-        state.reshape(B * H, S, S), chunk=chunk,
+    lw = jnp.log(w) if lw is None else lw
+    xs = tuple(_fold_bh(x.astype(jnp.float32), f, valid, chunk)
+               for x, f in ((r, 0.0), (k, 0.0), (v, 0.0), (lw, 0.0)))
+    (st, _), out = jax.lax.scan(
+        _chunk6_step,
+        (state.reshape(B * H, S, S).astype(jnp.float32), tf_b.astype(jnp.float32)),
+        xs,
     )
-    out = jnp.swapaxes(out[:T].reshape(T, B, H, S), 0, 1)
-    return out, st.reshape(B, H, S, S)
+    return _unfold_bh(out, B, T, H, S), st.reshape(B, H, S, S)
 
 
 # ---------------------------------------------------------------------------
@@ -334,7 +377,8 @@ def wkv4_chunked(k, v, u, d, aa, bb, pp, valid, chunk: int = 128):
     return out[0], (aa[0], bb[0], pp[0])
 
 
-def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
+def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK,
+                        lw=None):
     """Padding-safe wrapper with the same signature as ops/wkv.py::wkv7.
     Pads T up to a chunk multiple internally."""
     T, H, S = r.shape
@@ -349,7 +393,8 @@ def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK):
         return x
 
     out, st = wkv7_chunked(
-        padded(r, 0.0), padded(w, 1.0), padded(k, 0.0),
-        padded(v, 0.0), padded(a, 0.0), padded(b, 0.0), state, chunk=chunk
+        padded(r, 0.0), w, padded(k, 0.0),
+        padded(v, 0.0), padded(a, 0.0), padded(b, 0.0), state, chunk=chunk,
+        lw=padded(jnp.log(w) if lw is None else lw, 0.0),
     )
     return out[:T], st

@@ -129,6 +129,10 @@ def run_multiprocess_dryrun(num_processes: int = 2, local_devices: int = 4,
         _reference(ref_path)
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # drop the axon sitecustomize bootstrap: workers are CPU-only, and
+        # the TPU-relay registration it runs at interpreter startup can stall
+        # indefinitely when the relay is busy/down
+        env["PYTHONPATH"] = ""
         env["XLA_FLAGS"] = (
             env.get("XLA_FLAGS", "").replace(
                 "--xla_force_host_platform_device_count=8", "")

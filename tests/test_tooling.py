@@ -208,7 +208,11 @@ def test_generate_completions_cli():
     import sys
 
     path = fixture("tiny-rwkv-5v2-730K-FP32.bin")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PYTHONPATH="" drops the axon sitecustomize bootstrap: the subprocess is
+    # CPU-only, and the TPU-relay registration it would otherwise run at
+    # interpreter startup can stall indefinitely when the relay is busy or
+    # down (observed: a relay outage turned this test into a 900 s timeout)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
     r = subprocess.run(
         [sys.executable, "-m", "rwkv_tpu.tools.generate_completions", path,
          "--prompt", '"in the beginning', "--count", "1", "--tokens", "8",
