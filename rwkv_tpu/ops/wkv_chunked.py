@@ -37,6 +37,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Default chunk length for the v5/v6/v7 chunk-parallel forms. Module-level
+# so an on-chip sweep can flip it (jit caches trace-time reads: clear the
+# OUTER caches after changing). v7 numerics stay in f32 range through C=64
+# (Lam^-1 <= e^{0.6065*C} = e^38.8); v6 is safe at any C (clipped pairwise).
 CHUNK = 32
 
 
@@ -117,11 +121,12 @@ def _chunks_hm(x, chunk):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def wkv7_chunked(r, w, k, v, a, b, state, chunk: int = CHUNK, lw=None):
+def wkv7_chunked(r, w, k, v, a, b, state, chunk: int | None = None, lw=None):
     """Chunk-parallel wkv7: r/w/k/v/a/b (T, H, S) f32, state (H, S, S).
     T must be a multiple of `chunk` (callers pad; padding with w=1 and
     k=v=a=b=0 is an exact no-op on the state). Pass lw = log(w) when the
     caller already has it (forward.py does — w itself is then unused)."""
+    chunk = CHUNK if chunk is None else chunk
     T, H, S = r.shape
     assert T % chunk == 0, f"T={T} not a multiple of chunk={chunk}"
     lw = jnp.log(w) if lw is None else lw
@@ -176,11 +181,12 @@ def _chunk6_step(carry, chunk_arrs):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def wkv6_chunked(r, k, v, tf, w, state, chunk: int = CHUNK, lw=None):
+def wkv6_chunked(r, k, v, tf, w, state, chunk: int | None = None, lw=None):
     """Chunk-parallel wkv6/wkv5: r/k/v/w (T, H, S) f32; tf (H, S);
     state (H, S, S) indexed [k_dim, v_dim]. T must be a chunk multiple.
     Pass lw = log(w) when the caller has it (v6 computes the decay as
     -exp(.), so its log is free; w is then unused)."""
+    chunk = CHUNK if chunk is None else chunk
     T, H, S = r.shape
     assert T % chunk == 0
     lw = jnp.log(w) if lw is None else lw
@@ -191,8 +197,9 @@ def wkv6_chunked(r, k, v, tf, w, state, chunk: int = CHUNK, lw=None):
     return out.transpose(0, 2, 1, 3).reshape(T, H, S), state
 
 
-def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int = CHUNK, lw=None):
+def wkv6_chunked_masked(r, k, v, tf, w, state, valid, chunk: int | None = None, lw=None):
     """Padding-safe wrapper matching ops/wkv.py::wkv56's signature."""
+    chunk = CHUNK if chunk is None else chunk
     T, H, S = r.shape
     Tp = ((T + chunk - 1) // chunk) * chunk
     pad = Tp - T
@@ -250,12 +257,13 @@ def _unfold_bh(out, B, T, H, S):
                .reshape(B, n * C, H, Sv)[:, :T])
 
 
-def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int = CHUNK,
+def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int | None = None,
                          lw=None):
     """Natively batched chunked wkv7: fold (B, H) into the head axis so the
     whole batch runs as ONE chunked scan (no vmap — a vmapped kernel would
     re-batch every internal matmul). Shapes: r.. (B, T, H, S);
     state (B, H, Sv, Sk); valid (B, T). lw = log(w) if the caller has it."""
+    chunk = CHUNK if chunk is None else chunk
     B, T, H, S = r.shape
     lw = jnp.log(w) if lw is None else lw
     xs = tuple(_fold_bh(x.astype(jnp.float32), f, valid, chunk)
@@ -266,10 +274,11 @@ def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int = CHUNK,
     return _unfold_bh(out, B, T, H, S), st.reshape(B, H, S, S)
 
 
-def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int = CHUNK,
+def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int | None = None,
                          lw=None):
     """Batched chunked wkv6/wkv5 via (B, H) folding; tf (H, S) broadcasts
     across streams. state (B, H, Sk, Sv); valid (B, T)."""
+    chunk = CHUNK if chunk is None else chunk
     B, T, H, S = r.shape
     tf_b = jnp.broadcast_to(tf, (B, H, S)).reshape(B * H, S)
     lw = jnp.log(w) if lw is None else lw
@@ -377,10 +386,11 @@ def wkv4_chunked(k, v, u, d, aa, bb, pp, valid, chunk: int = 128):
     return out[0], (aa[0], bb[0], pp[0])
 
 
-def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int = CHUNK,
+def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int | None = None,
                         lw=None):
     """Padding-safe wrapper with the same signature as ops/wkv.py::wkv7.
     Pads T up to a chunk multiple internally."""
+    chunk = CHUNK if chunk is None else chunk
     T, H, S = r.shape
     Tp = ((T + chunk - 1) // chunk) * chunk
     pad = Tp - T

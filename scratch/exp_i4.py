@@ -1,0 +1,109 @@
+"""int4 decode experiments, one mode per process. Usage:
+  python scratch/exp_i4.py MODE [SIZE]
+SIZE: 1p5 (default) | 7b
+Modes:
+  micro       — correctness of s4 kernel + i16 unpack on chip (fast)
+  base        — int4 decode, current defaults (merged rkv like bench.py)
+  nomerge     — int4 decode without merged rkv
+  i16         — base with I4_UNPACK=i16
+  s4          — q4fast converted to native-s4 Linears (merged)
+  w8a8head    — base + w8a8-quantized head (no dequant pass, half traffic)
+  int8        — int8 qfast baseline (merged)
+"""
+import sys, time
+import numpy as np
+
+mode = sys.argv[1]
+size = sys.argv[2] if len(sys.argv) > 2 else "1p5"
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+from rwkv_tpu.ops import qmm
+from rwkv_tpu.ops import linear as L
+
+if mode == "micro":
+    IN, OUT, T = 1024, 512, 8
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, IN)).astype(np.float32)
+    codes = rng.integers(0, 16, size=(2, IN, OUT), dtype=np.int8)  # L=2
+    d = (rng.standard_normal((2, IN // 32, OUT)).astype(np.float32) * 0.01)
+    packed = qmm.pack_i4(codes)   # (2, IN/2, OUT)
+    ref = qmm.qmm_i4_reference(x, packed[1], d[1], bias=8)
+    ref = np.asarray(jax.device_get(ref))
+
+    qmm.I4_UNPACK = "i16"
+    try:
+        y = jax.device_get(qmm.qmm_i4_stacked(x, jnp.asarray(packed), jnp.asarray(d), None, 1))
+        print("i16 unpack: max|diff| =", np.abs(y - ref).max())
+    except Exception as e:
+        print("i16 unpack FAILED:", type(e).__name__, str(e)[-300:])
+    qmm.I4_UNPACK = "i32"
+
+    s4 = jnp.asarray(codes.astype(np.int32) - 8, dtype=jnp.int4)
+    try:
+        y = jax.device_get(qmm.qmm_s4_stacked(x, s4, jnp.asarray(d), 1))
+        print("s4 kernel: max|diff| =", np.abs(y - ref).max())
+    except Exception as e:
+        print("s4 kernel FAILED:", type(e).__name__, str(e)[-300:])
+    sys.exit(0)
+
+from rwkv_tpu.models import synth
+from rwkv_tpu.runtime import generate as G
+
+if size == "7b":
+    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
+else:
+    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
+
+t0 = time.time()
+quant = "int8" if mode == "int8" else "int4"
+params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
+jax.block_until_ready(jax.tree.leaves(params))
+print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+def merge_rkv(params):
+    layers = dict(params["layers"])
+    names = ["att_r", "att_k", "att_v"]
+    if isinstance(layers.get("att_gate"), L.Linear):
+        names.append("att_gate")
+    parts = [layers[k] for k in names]
+    key = "att_rkvg" if len(names) == 4 else "att_rkv"
+    layers[key] = L.merge_qfast(parts)
+    for k in names:
+        del layers[k]
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+if mode == "i16":
+    qmm.I4_UNPACK = "i16"
+if mode != "nomerge":
+    params = merge_rkv(params)
+if mode == "s4":
+    @jax.jit
+    def to_s4(qp):
+        return (qmm.unpack_i4(qp) - 8).astype(jnp.int4)
+    layers = dict(params["layers"])
+    for k, v in list(layers.items()):
+        if isinstance(v, L.Linear) and v.kind == "q4fast":
+            layers[k] = L.Linear(q=to_s4(v.q), d=v.d, m=None, kind="s4fast", fmt="INT4")
+    params = dict(params); params["layers"] = layers
+if mode == "w8a8head":
+    params = dict(params)
+    params["head"] = L.quantize_dense_w8a8_device(params["head"])
+jax.block_until_ready(jax.tree.leaves(params))
+
+B, steps, reps = 8, 64, 3
+state = G.batched_init_state(cfg, B)
+tok0 = jnp.zeros((B,), jnp.int32)
+t0 = time.time()
+toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+_ = jax.device_get(toks)
+print(f"compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+t0 = time.time()
+for _ in range(reps):
+    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+_ = jax.device_get(toks)
+dt = (time.time() - t0) / reps
+print(f"RESULT {mode} {size}: {B*steps/dt:.1f} tok/s ({1000*dt/steps:.3f} ms/step)")
