@@ -295,3 +295,73 @@ def test_autotuner_smoke():
         candidates=[None, (128, 256)], apply=False, verbose=False)
     assert len(res) == 2 and res[0][1] >= res[1][1]
     assert qmm.DECODE_TILES_I4 == prev
+
+
+def test_qmm_s4_stacked_interpret():
+    """Native-s4 kernels (q stored jnp.int4, signed codes, value = code * d)
+    match the packed-nibble reference exactly — same codes, same scales."""
+    inn, out, t, L = 1024, 256, 8, 2
+    codes = RNG.integers(0, 16, size=(L, inn, out)).astype(np.int8)
+    packed = jnp.asarray(qmm.pack_i4(codes))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_i4_reference(x, packed[1], d[1], bias=8))
+
+    s4 = jnp.asarray(codes.astype(np.int32) - 8, dtype=jnp.int4)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_s4_stacked(x, s4, d, 1))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+    # multi: 3 projections share the pipeline; each slice must equal the
+    # single-projection result
+    xs = jnp.asarray(np.stack([np.asarray(x)] * 3))
+    q3 = jnp.concatenate([s4] * 3, axis=-1)
+    d3 = jnp.concatenate([d] * 3, axis=-1)
+    with pltpu.force_tpu_interpret_mode():
+        y3 = np.asarray(qmm.qmm_s4_stacked_multi(xs, q3, d3, 1, 3))
+    for i in range(3):
+        np.testing.assert_allclose(y3[:, i * out:(i + 1) * out], ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_qmm_i4_unpack_domains_interpret():
+    """Every unpack domain of the half-split kernel (i32 / i16) produces the
+    same values (u8 is kept for future Mosaic support and skipped here)."""
+    inn, out, t, L = 1024, 256, 8, 2
+    codes = RNG.integers(0, 16, size=(L, inn, out)).astype(np.int8)
+    packed = jnp.asarray(qmm.pack_i4(codes))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_i4_reference(x, packed[1], d[1], bias=8))
+
+    prev = qmm.I4_UNPACK
+    try:
+        for dom in ("i32", "i16"):
+            qmm.I4_UNPACK = dom
+            with pltpu.force_tpu_interpret_mode():
+                y = np.asarray(qmm.qmm_i4_stacked(
+                    x, packed, d, None, 1, compute=jnp.float32))
+            np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5,
+                                       err_msg=dom)
+    finally:
+        qmm.I4_UNPACK = prev
+
+
+def test_s4fast_linear_dispatch():
+    """kind='s4fast' Linears evaluate through matmul on every backend (jnp
+    reference fallback off-TPU) and match the q4fast path."""
+    from rwkv_tpu.ops.linear import Linear, at_layer, matmul
+
+    inn, out, L = 256, 128, 2
+    codes = RNG.integers(0, 16, size=(L, inn, out)).astype(np.int8)
+    packed = jnp.asarray(qmm.pack_i4(codes))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
+
+    l4 = Linear(q=packed, d=d, kind="q4fast", fmt="INT4")
+    s4 = Linear(q=jnp.asarray(codes.astype(np.int32) - 8, dtype=jnp.int4),
+                d=d, kind="s4fast", fmt="INT4")
+    assert s4.shape == l4.shape == (inn, out)
+    y4 = np.asarray(matmul(x, at_layer(l4, 1)))
+    ys = np.asarray(matmul(x, at_layer(s4, 1)))
+    np.testing.assert_allclose(ys, y4, rtol=1e-5, atol=1e-5)
