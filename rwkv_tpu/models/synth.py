@@ -83,12 +83,13 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                 q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
                                        jnp.int32).astype(jnp.uint8)
                 d = jnp.full((L_, inn // 32, out),
-                             0.5 / math.sqrt(inn) / 4.6, jnp.float32)
+                             0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
                 layers[k] = Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
             else:
                 q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
                 # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)
-                d = jnp.full((L_, inn // 32, out), 0.5 / math.sqrt(inn) / 73.0, jnp.float32)
+                d = jnp.full((L_, inn // 32, out), 0.5 / math.sqrt(inn) / 73.0,
+                             jnp.bfloat16)
                 layers[k] = Linear(q=q, d=d, m=None, kind="qfast", fmt="Q8_0")
         host = dict(host)
         host["layers"] = layers

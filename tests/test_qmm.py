@@ -231,11 +231,12 @@ def test_quantize_dense_i4_device_and_dispatch():
     assert q4.q.shape == (inn // 2, out) and q4.q.dtype == jnp.uint8
 
     w_hat = np.asarray(to_dense_f32(q4).w)
-    # 4-bit round-to-nearest: |err| <= d/2 = absmax/14 per 32-block
+    # 4-bit round-to-nearest against the stored (bf16-rounded) scale:
+    # |err| <= d_bf16/2 <= (absmax/14) * (1 + 2^-8)
     blocks = w.reshape(inn // 32, 32, out)
     dmax = np.abs(blocks).max(axis=1) / 7.0
     err = np.abs((w_hat - w).reshape(inn // 32, 32, out))
-    assert (err <= dmax[:, None, :] / 2 + 1e-7).all()
+    assert (err <= dmax[:, None, :] * 0.5 * (1 + 1 / 256) + 1e-7).all()
 
     x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
     y = matmul(x, q4)
