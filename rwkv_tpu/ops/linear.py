@@ -62,7 +62,7 @@ class Linear:
         if self.kind == "quant":
             *_, o, nb, _ = self.q.shape
             return (nb * QK, o)
-        if self.kind in ("qfast", "w8a8", "s4fast"):  # q is contraction-major (in, out)
+        if self.kind in ("qfast", "w8a8", "s4fast", "w4a8g"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
         if self.kind == "q4fast":           # q is (in/2, out) packed nibbles
@@ -226,9 +226,9 @@ def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32 or bf16
     (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
     and parity int-dot take f32, so those branches upcast)."""
-    if lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w8a8"):
+    if lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w4a8g", "w8a8"):
         x = x.astype(jnp.float32)
-    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "s4fast"):
+    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w4a8g"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
@@ -304,6 +304,21 @@ def matmul(x, lin: Linear):
         q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         return qmm.qmm_reference(x, q.astype(jnp.int8), d, None, group=g)
+    if lin.kind == "w4a8g":
+        # grouped integer-dot 4-bit path: s8 activations x s4 codes on the
+        # MXU, exact per-32 scales applied to block partial sums — no
+        # per-element dequant pass (qmm.py w4a8 section)
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        inn, out = lin.q.shape[-2], lin.q.shape[-1]
+        if (lin.layer is not None and jax.default_backend() == "tpu"
+                and qmm.aligned_for_kernel(inn, out, g)):
+            xt, da = qmm.quantize_acts_s8(x)
+            return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer, group=g) * da
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        return qmm.qmm_w4a8_reference(x, q, d, group=g)
     if lin.kind == "q4fast":
         from rwkv_tpu.ops import qmm
 

@@ -768,6 +768,106 @@ def qmm_s4_stacked_multi(xs, q, d, layer, n_parts: int, group: int = QK,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q, d)
 
 
+# ---------------------------------------------------------------------------
+# w4a8 grouped integer-dot: the dequant-free 4-bit path. Activations are
+# pre-quantized to per-row int8 (same recipe as w8a8, ops/linear.py); codes
+# stay s4 in HBM; the kernel contracts s8 x s4 on the MXU in per-scale-group
+# batched dots and applies the EXACT per-32-block scales to the (T, OT)
+# partial sums — so the per-ELEMENT dequant pass (the VPU chain that
+# co-limits the f32-interior kernels with DMA) disappears: VPU work per
+# weight element drops to ~T/group multiply-adds (0.25 at decode T=8).
+# Accuracy = q4fast codes (identical) + a8 activation rounding (the same
+# rounding w8a8 serves with at corr > 0.999).
+# ---------------------------------------------------------------------------
+
+
+def quantize_acts_s8(x):
+    """x (T, in) f32 -> (xqT (in, T) int8, da (T, 1) f32). Transposed so the
+    kernel's per-group reshape splits the SUBLANE dim (free) rather than
+    lanes. Callers multiply the kernel output by da."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    da = jnp.maximum(amax, 1e-8) / jnp.float32(127.0)
+    xq = jnp.round(x / da).astype(jnp.int8)
+    return xq.T, da
+
+
+def _qmm_w4a8_stacked_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref, *,
+                             group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xt = xt_ref[...]                      # (IT, TT) int8, contraction-major
+    q = q_ref[0]                          # (IT, OT) int4
+    it, tt = xt.shape
+    ot = q.shape[1]
+    nb = it // group
+
+    # per-group batched integer dots: contraction over the group dim only,
+    # partial sums per (block, token, out) rescaled by the block's scale
+    z = jax.lax.dot_general(
+        xt.reshape(nb, group, tt), q.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                     # (nb, TT, OT) int32
+    d = d_ref[0].astype(jnp.float32)      # (nb, OT)
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm_w4a8_stacked(xt, q, d, layer, group: int = QK, out_dtype=jnp.float32,
+                     tiles=None):
+    """Layer-stacked grouped-integer-dot matmul: xt (in, T) int8 activations
+    (quantize_acts_s8), q (L, in, out) jnp.int4 signed codes, d
+    (L, in//group, out) f32/bf16 per-group scales. Returns UNSCALED (T, out)
+    f32 — multiply by the caller's per-row activation scale da."""
+    inn, t = xt.shape
+    out = q.shape[2]
+    _check_aligned(inn, out, group)
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((IT, TT), lambda r, o, i, l: (i, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_w4a8_stacked_kernel, group=group, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xt, q, d)
+
+
+def qmm_w4a8_reference(x, q, d, group: int = QK):
+    """jnp reference for the w4a8 grouped path: same activation quantization
+    and block-partial-sum rescale, XLA ops only."""
+    xt, da = quantize_acts_s8(x)
+    inn, out = q.shape[-2], q.shape[-1]
+    nb = inn // group
+    z = jax.lax.dot_general(
+        xt.astype(jnp.int32).reshape(nb, group, -1),
+        q.astype(jnp.int32).reshape(nb, group, out),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    y = jnp.sum(z.astype(jnp.float32) * d.astype(jnp.float32)[:, None, :], axis=0)
+    return y * da
+
+
 def qmm_i4_reference(x, q, d, m=None, bias: int = 8, group: int = QK):
     """jnp fallback for packed-int4 weights (CPU / unaligned shapes):
     identical math to the kernels, XLA-fused."""

@@ -78,7 +78,7 @@ def merge_rkv(params):
 
 if mode == "i16":
     qmm.I4_UNPACK = "i16"
-if mode != "nomerge":
+if mode not in ("nomerge", "w4a8g"):
     params = merge_rkv(params)
 if mode == "s4":
     @jax.jit
@@ -88,6 +88,16 @@ if mode == "s4":
     for k, v in list(layers.items()):
         if isinstance(v, L.Linear) and v.kind == "q4fast":
             layers[k] = L.Linear(q=to_s4(v.q), d=v.d, m=None, kind="s4fast", fmt="INT4")
+    params = dict(params); params["layers"] = layers
+if mode in ("s4w", "w4a8g"):
+    # w4a8g: grouped integer-dot path (no merge; singles only for now)
+    @jax.jit
+    def to_s4(qp):
+        return (qmm.unpack_i4(qp) - 8).astype(jnp.int4)
+    layers = dict(params["layers"])
+    for k, v in list(layers.items()):
+        if isinstance(v, L.Linear) and v.kind == "q4fast":
+            layers[k] = L.Linear(q=to_s4(v.q), d=v.d, m=None, kind="w4a8g", fmt="INT4")
     params = dict(params); params["layers"] = layers
 if mode == "w8a8head":
     params = dict(params)
