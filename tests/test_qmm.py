@@ -366,3 +366,40 @@ def test_s4fast_linear_dispatch():
     y4 = np.asarray(matmul(x, at_layer(l4, 1)))
     ys = np.asarray(matmul(x, at_layer(s4, 1)))
     np.testing.assert_allclose(ys, y4, rtol=1e-5, atol=1e-5)
+
+
+def test_qmm_w4a8_grouped_interpret():
+    """Grouped integer-dot kernel (w4a8g): s8 activations x s4 codes with
+    exact per-32 scales on block partial sums. Kernel must match the jnp
+    reference bit-close; the reference must track exact dense within the a8
+    activation-rounding band."""
+    inn, out, t, L = 1024, 256, 8, 2
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+
+    w = codes[1].astype(np.float32) * np.repeat(np.asarray(d)[1], 32, axis=0)
+    y_exact = np.asarray(x) @ w
+    y_ref = np.asarray(qmm.qmm_w4a8_reference(x, jnp.asarray(codes[1]), d[1]))
+    scale = np.abs(y_exact).mean() + 1e-9
+    assert np.abs(y_ref - y_exact).max() / scale < 0.05  # a8 rounding band
+
+    s4 = jnp.asarray(codes, dtype=jnp.int4)
+    xt, da = qmm.quantize_acts_s8(x)
+    with pltpu.force_tpu_interpret_mode():
+        y_k = np.asarray(qmm.qmm_w4a8_stacked(xt, s4, d, 1)) * np.asarray(da)
+    np.testing.assert_allclose(y_k, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8g_linear_dispatch():
+    from rwkv_tpu.ops.linear import Linear, at_layer, matmul
+
+    inn, out, L = 256, 128, 2
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    lin = Linear(q=jnp.asarray(codes, dtype=jnp.int4), d=d, kind="w4a8g", fmt="INT4")
+    assert lin.shape == (inn, out)
+    x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
+    y = np.asarray(matmul(x, at_layer(lin, 1)))
+    ref = np.asarray(qmm.qmm_w4a8_reference(x, jnp.asarray(codes[1]), d[1]))
+    np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
