@@ -140,6 +140,19 @@ class _Source:
                     kind="q4fast",
                     fmt=ty,
                 )
+            if L.i5_packable(ty):
+                from rwkv_tpu.ops import qmm
+
+                bias, hi = L.i5_spec(ty)
+                nib, hib = qmm.pack_i5(q.T, bias=bias, hi_bits=hi)
+                return L.Linear(
+                    q=nib,
+                    qh=hib,
+                    d=np.ascontiguousarray(d.T),
+                    m=None if m is None else np.ascontiguousarray(m.T),
+                    kind="q5fast" if hi == 1 else "q6fast",
+                    fmt=ty,
+                )
             return L.Linear(
                 q=np.ascontiguousarray(q.T),
                 d=np.ascontiguousarray(d.T),

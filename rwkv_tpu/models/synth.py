@@ -55,7 +55,8 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
     quantize='int8' synthesizes the big projections directly as int8 qfast
     Linears (codes + per-32-block scales) — never materializing a dense
     copy, so 7B-class configs fit one 16 GB chip. quantize='int4' likewise
-    synthesizes packed-nibble q4fast Linears (0.5 bytes/element). (Real
+    synthesizes packed-nibble q4fast Linears (0.5 bytes/element), and
+    quantize='int5' nibble+bit-plane q5fast Linears (0.625 B/elem). (Real
     deployments get these layouts for free by loading an already-quantized
     model file.)"""
     import jax
@@ -63,7 +64,7 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
-    if quantize in ("int8", "int4"):
+    if quantize in ("int8", "int4", "int5"):
         import math
 
         from rwkv_tpu.ops.linear import Linear
@@ -85,6 +86,18 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                 d = jnp.full((L_, inn // 32, out),
                              0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
                 layers[k] = Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
+            elif quantize == "int5":
+                # uniform nibble + bit planes; unpacked codes-16 have std
+                # ~9.2; d sets w_eff std to 0.5/sqrt(in)
+                q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
+                                       jnp.int32).astype(jnp.uint8)
+                qh = jax.random.randint(jax.random.fold_in(kq, 1),
+                                        (L_, inn // 8, out), 0, 256,
+                                        jnp.int32).astype(jnp.uint8)
+                d = jnp.full((L_, inn // 32, out),
+                             0.5 / math.sqrt(inn) / 9.2, jnp.bfloat16)
+                layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="q5fast",
+                                   fmt="INT5")
             else:
                 q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
                 # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)

@@ -23,6 +23,11 @@ A `Linear` is a pytree-registered dataclass holding one of three representations
                   (Q4_0/Q4_1 files, on-device 'int4' quantization); feeds
                   ops/qmm.py's qmm_i4* kernels. value = (code - bias)*d (+ m)
                   with bias derived from fmt (i4_bias).
+  kind='q5fast'/'q6fast' — q: (in/2, out) uint8 nibble plane as q4fast, plus
+                  qh: (in*b/8, out) uint8 packed high bits (b=1 for Q5-class,
+                  b=2 for Q6_K) — 0.625 / 0.75 bytes/element. Serving
+                  representation for Q5_0/Q5_1/Q5_K/Q6_K; feeds qmm_i5*.
+                  value = (nib + (hi<<4) - bias) * d (+ m), spec via i5_spec.
 
 Weights with a leading layer dimension (stacked for lax.scan over layers) work
 transparently: scan slices each leaf per layer.
@@ -49,6 +54,9 @@ class Linear:
     q: Any = None
     d: Any = None
     m: Any = None
+    # packed high-bit plane for 'q5fast'/'q6fast' (see qmm.py pack_hi_bits);
+    # None for every other kind (no pytree leaf when unset)
+    qh: Any = None
     kind: str = "dense"   # 'dense' | 'f16' | 'quant'
     fmt: str = ""         # quant format name when kind == 'quant'
     # traced layer index into leading-L stacked arrays (set via at_layer);
@@ -65,7 +73,7 @@ class Linear:
         if self.kind in ("qfast", "w8a8", "s4fast", "w4a8g"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
-        if self.kind == "q4fast":           # q is (in/2, out) packed nibbles
+        if self.kind in ("q4fast", "q5fast", "q6fast"):  # q is (in/2, out) packed nibbles
             *_, inn2, o = self.q.shape
             return (2 * inn2, o)
         return self.w.shape[-2:]
@@ -73,7 +81,7 @@ class Linear:
 
 jax.tree_util.register_dataclass(
     Linear,
-    data_fields=["w", "q", "d", "m", "layer"],
+    data_fields=["w", "q", "d", "m", "qh", "layer"],
     meta_fields=["kind", "fmt"],
 )
 
@@ -96,6 +104,17 @@ def group_of(fmt: str) -> int:
 # code bias of 4-bit-class formats once packed unsigned: value = (code-bias)*d
 _I4_BIAS = {"Q4_0": 8, "INT4": 8, "Q4_1": 0, "Q4_K": 0}
 
+# 5/6-bit-class formats: (bias, hi_bits, kind). Packed as a half-split nibble
+# plane + a dense high-bit plane (qmm.py pack_i5) — 0.625 (Q5) / 0.75 (Q6)
+# bytes/element on the HBM bus instead of qfast's 1.0.
+_I5_SPEC = {
+    "Q5_0": (16, 1, "q5fast"),
+    "Q5_1": (0, 1, "q5fast"),
+    "Q5_K": (0, 1, "q5fast"),
+    "INT5": (16, 1, "q5fast"),
+    "Q6_K": (32, 2, "q6fast"),
+}
+
 
 def i4_bias(fmt: str) -> int:
     return _I4_BIAS[fmt]
@@ -104,6 +123,17 @@ def i4_bias(fmt: str) -> int:
 def i4_packable(fmt: str) -> bool:
     """Formats whose normalized codes fit an unsigned nibble (after bias)."""
     return fmt in _I4_BIAS
+
+
+def i5_spec(fmt: str):
+    """(bias, hi_bits) of a 5/6-bit packable format."""
+    bias, hi, _ = _I5_SPEC[fmt]
+    return bias, hi
+
+
+def i5_packable(fmt: str) -> bool:
+    """Formats whose normalized codes fit 5/6 unsigned bits (after bias)."""
+    return fmt in _I5_SPEC
 
 
 def fast_dense_dtype(parity: bool):
@@ -162,6 +192,19 @@ def from_record(rec, parity: bool, dense_dtype=None) -> Linear:
                 d=np.ascontiguousarray(d.reshape(out, nb).T),
                 m=None if m is None else np.ascontiguousarray(m.reshape(out, nb).T),
                 kind="q4fast",
+                fmt=fmt,
+            )
+        if i5_packable(fmt):
+            from rwkv_tpu.ops import qmm
+
+            bias, hi = i5_spec(fmt)
+            nib, hib = qmm.pack_i5(q.reshape(out, inn).T, bias=bias, hi_bits=hi)
+            return Linear(
+                q=nib,
+                qh=hib,
+                d=np.ascontiguousarray(d.reshape(out, nb).T),
+                m=None if m is None else np.ascontiguousarray(m.reshape(out, nb).T),
+                kind=_I5_SPEC[fmt][2],
                 fmt=fmt,
             )
         return Linear(
@@ -226,9 +269,11 @@ def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32 or bf16
     (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
     and parity int-dot take f32, so those branches upcast)."""
-    if lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w4a8g", "w8a8"):
+    if lin.kind in ("quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
+                    "w4a8g", "w8a8"):
         x = x.astype(jnp.float32)
-    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "s4fast", "w4a8g"):
+    if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "q5fast",
+                                   "q6fast", "s4fast", "w4a8g"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
@@ -340,6 +385,30 @@ def matmul(x, lin: Linear):
         if use_kernel:
             return qmm.qmm_i4(x, lin.q, lin.d, lin.m, bias=b, group=g)
         return qmm.qmm_i4_reference(x, lin.q, lin.d, lin.m, bias=b, group=g)
+    if lin.kind in ("q5fast", "q6fast"):
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        b, hi = i5_spec(lin.fmt)
+        inn, out = lin.shape
+        use_kernel = (
+            jax.default_backend() == "tpu" and qmm.aligned_i4(inn, out, g)
+        )
+        if lin.layer is not None:
+            if use_kernel:
+                return qmm.qmm_i5_stacked(x, lin.q, lin.qh, lin.d, lin.m,
+                                          lin.layer, bias=b, group=g, hi_bits=hi)
+            return qmm.qmm_i5_reference(
+                x, _take_layer(lin.q, lin.layer), _take_layer(lin.qh, lin.layer),
+                _take_layer(lin.d, lin.layer),
+                None if lin.m is None else _take_layer(lin.m, lin.layer),
+                bias=b, group=g, hi_bits=hi,
+            )
+        if use_kernel:
+            return qmm.qmm_i5(x, lin.q, lin.qh, lin.d, lin.m, bias=b, group=g,
+                              hi_bits=hi)
+        return qmm.qmm_i5_reference(x, lin.q, lin.qh, lin.d, lin.m, bias=b,
+                                    group=g, hi_bits=hi)
     raise ValueError(f"unknown Linear kind {lin.kind}")
 
 
@@ -371,6 +440,8 @@ def merge_qfast(lins: list) -> Linear:
     return Linear(
         q=jnp.concatenate([l.q for l in lins], axis=-1),
         d=jnp.concatenate([l.d for l in lins], axis=-1),
+        qh=None if lins[0].qh is None
+        else jnp.concatenate([l.qh for l in lins], axis=-1),
         m=None, kind=kind, fmt=lins[0].fmt,
     )
 
@@ -412,6 +483,15 @@ def matmul_multi(xs: list, lin: Linear):
                 [qmm.qmm_i4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
                                       d[:, i * eo:(i + 1) * eo], bias=b, group=g)
                  for i in range(n)], axis=-1)
+        elif lin.kind in ("q5fast", "q6fast"):
+            b, hi = i5_spec(lin.fmt)
+            qh = lin.qh if lin.layer is None else _take_layer(lin.qh, lin.layer)
+            y = jnp.concatenate(
+                [qmm.qmm_i5_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                      qh[:, i * eo:(i + 1) * eo],
+                                      d[:, i * eo:(i + 1) * eo], bias=b,
+                                      group=g, hi_bits=hi)
+                 for i in range(n)], axis=-1)
         else:
             y = jnp.concatenate(
                 [qmm.qmm_reference(x2[i], q[:, i * eo:(i + 1) * eo],
@@ -429,15 +509,17 @@ def stack(lins: list) -> Linear:
     """
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
-    if len(kinds) > 1 or (kinds <= {"quant", "qfast", "q4fast"} and len(fmts) > 1):
+    packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast"}
+    if len(kinds) > 1 or (kinds <= packed and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
     k = lins[0].kind
-    if k in ("quant", "qfast", "q4fast"):
+    if k in packed:
         return Linear(
             q=np.stack([l.q for l in lins]),
             d=np.stack([l.d for l in lins]),
             m=None if lins[0].m is None else np.stack([l.m for l in lins]),
+            qh=None if lins[0].qh is None else np.stack([l.qh for l in lins]),
             kind=k,
             fmt=lins[0].fmt,
         )
@@ -518,6 +600,42 @@ def quantize_dense_i4_device(lin: Linear, group: int = 32) -> Linear:
     return Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
 
 
+def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
+    """Dense Linear -> packed 5-bit Linear (kind='q5fast', fmt='INT5'),
+    computed on device under jit: d = absmax/15, code =
+    clip(round(w/d), -16, 15) + 16, nibbles half-split packed + the 5th bits
+    in a dense bit plane (qmm.py pack layout). 0.625 bytes/element on the
+    bus — the quality/traffic point between int4 (0.5) and int8 (1.0),
+    matching the reference's Q5 formats."""
+    if lin.kind == "q5fast":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        # bf16 scales; codes quantized against the bf16-rounded scale — see
+        # quantize_dense_device
+        d = (amax / jnp.float32(15.0)).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / df, 0.0)
+        q = jnp.clip(jnp.round(b * inv[..., None, :]), -16, 15) + 16
+        q = q.astype(jnp.uint8).reshape(*lead, inn, o)
+        lo4 = q & 15
+        nib = lo4[..., : inn // 2, :] | (lo4[..., inn // 2 :, :] << 4)
+        hi1 = (q >> 4).reshape(*lead, inn // 8, 8, o)
+        shifts = jnp.arange(8, dtype=jnp.uint8).reshape(8, 1)
+        hib = jnp.sum(hi1 << shifts, axis=-2).astype(jnp.uint8)
+        return nib, hib, d
+
+    nib, hib, d = _q(lin.w)
+    return Linear(q=nib, qh=hib, d=d, m=None, kind="q5fast", fmt="INT5")
+
+
 def quantize_dense_w8a8_device(lin: Linear) -> Linear:
     """Dense Linear -> per-output-channel int8 Linear (kind='w8a8').
 
@@ -562,8 +680,9 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     bound deployments. `keys` overrides the layer-Linear selection.
     mode: 'block' (int8, per-32-block scales, fused dequant kernels), 'int4'
     (packed nibbles, per-32-block scales — half of 'block's weight traffic,
-    the sub-byte serving mode) or 'w8a8' (per-channel scales, native int8
-    MXU matmuls).
+    the sub-byte serving mode), 'int5' (nibbles + a 5th-bit plane, 0.625
+    B/elem — the Q5-class quality point) or 'w8a8' (per-channel scales,
+    native int8 MXU matmuls).
     consume=True frees each dense HBM buffer as it is converted — required
     to quantize models whose dense + quantized copies don't fit HBM together
     (e.g. a 7B bf16 model on one 16 GB chip). The input pytree's converted
@@ -572,6 +691,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     quantize_one = {
         "block": quantize_dense_device,
         "int4": quantize_dense_i4_device,
+        "int5": quantize_dense_i5_device,
         "w8a8": quantize_dense_w8a8_device,
     }[mode]
 
@@ -639,11 +759,19 @@ def to_dense_f32(lin: Linear) -> Linear:
     if lin.kind == "w8a8":
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
-    if lin.kind in ("qfast", "q4fast"):
+    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
         if lin.kind == "q4fast":
             qp = np.asarray(lin.q).astype(np.int32)
             codes = np.concatenate([qp & 15, qp >> 4], axis=-2) - i4_bias(lin.fmt)
+        elif lin.kind in ("q5fast", "q6fast"):
+            from rwkv_tpu.ops import qmm
+
+            bias, hi = i5_spec(lin.fmt)
+            qp = np.asarray(lin.q).astype(np.int32)
+            nib = np.concatenate([qp & 15, qp >> 4], axis=-2)
+            hib = np.asarray(qmm.unpack_hi_bits(np.asarray(lin.qh), bits=hi))
+            codes = nib + (hib << 4) - bias
         else:
             codes = np.asarray(lin.q)
         *lead, inn, o = codes.shape

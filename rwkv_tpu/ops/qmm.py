@@ -878,3 +878,280 @@ def qmm_i4_reference(x, q, d, m=None, bias: int = 8, group: int = QK):
         w = w + m[:, None, :]
     return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+# ---------------------------------------------------------------------------
+# Packed 5/6-bit kernels — sub-byte serving for the Q5/Q6 families, so their
+# bytes-on-the-bus match the format's bit-width the way ggml's packed vec_dot
+# does (Q5_0 = nibbles + a 32-bit high-bit word per block, Q6_K = nibbles + 2
+# high bits; type table /root/reference/rwkv_file_format.inc:5-24).
+#
+# TPU-native layout: the low nibble plane reuses the int4 half-split packing
+# (pack_i4) and its two-dot contraction split; the high bits live in a
+# separate DENSE bit plane in natural (unpacked) row order —
+#   hi_bits=1 (Q5-class): (in/8, out) uint8, byte row r bit k = row 8r+k
+#   hi_bits=2 (Q6-class): (in/4, out) uint8, byte row r bits 2k:2k+2 = row 4r+k
+# In-kernel expansion is the same broadcast+reshape trick the scale expansion
+# uses (each byte replicated across its rows' sublanes) followed by a
+# variable shift with a broadcasted_iota shift vector — all uniform i32 VPU
+# ops. code = lo_nibble + (hi << 4); value = (code - bias) * d (+ m).
+# Bytes/element: 0.625 (Q5) / 0.75 (Q6) vs 1.0 for the int8 'qfast' path.
+# ---------------------------------------------------------------------------
+
+
+def pack_hi_bits(hi, bits: int = 1):
+    """High-bit plane (..., in, out) ints in [0, 2**bits) -> packed
+    (..., in*bits/8, out) uint8, byte row r field k = row r*(8//bits)+k.
+    numpy in, numpy out."""
+    import numpy as np
+
+    h = np.asarray(hi).astype(np.int64)
+    if h.min() < 0 or h.max() >= (1 << bits):
+        raise ValueError(f"hi bits outside [0,{(1 << bits) - 1}]: [{h.min()}, {h.max()}]")
+    per = 8 // bits
+    *lead, inn, out = h.shape
+    if inn % per:
+        raise ValueError(f"contraction dim {inn} must be a multiple of {per}")
+    r = h.reshape(*lead, inn // per, per, out)
+    shifts = (bits * np.arange(per, dtype=np.int64)).reshape(per, 1)
+    return (r << shifts).sum(axis=-2).astype(np.uint8)
+
+
+def unpack_hi_bits(hp, bits: int = 1):
+    """(..., in*bits/8, out) uint8 -> (..., in, out) int32 fields (jnp)."""
+    per = 8 // bits
+    qi = hp.astype(jnp.int32)
+    *lead, rb, out = qi.shape
+    sh = (bits * jnp.arange(per, dtype=jnp.int32)).reshape(per, 1)
+    fields = (qi[..., :, None, :] >> sh) & ((1 << bits) - 1)
+    return fields.reshape(*lead, rb * per, out)
+
+
+def pack_i5(q, bias: int = 0, hi_bits: int = 1):
+    """Codes (..., in, out) ints: values+bias must fit [0, 2**(4+hi_bits)).
+    Returns (nib, hib): the half-split nibble plane (pack_i4 layout) and the
+    packed high-bit plane (pack_hi_bits layout). numpy in, numpy out."""
+    import numpy as np
+
+    v = np.asarray(q).astype(np.int32) + bias
+    if v.min() < 0 or v.max() >= (1 << (4 + hi_bits)):
+        raise ValueError(f"codes+bias outside [0,{(1 << (4 + hi_bits)) - 1}]: "
+                         f"[{v.min()}, {v.max()}]")
+    return pack_i4(v & 15), pack_hi_bits(v >> 4, bits=hi_bits)
+
+
+def _hi_expand(h, per: int, bits: int, compute):
+    """One packed high-bit tile (rb, OT) uint8 -> (rb*per, OT) fields in the
+    compute dtype. Broadcast each byte across its `per` rows' sublanes, then
+    shift by (row % per) * bits — a uniform elementwise vector shift."""
+    rb, ot = h.shape
+    bb = jnp.broadcast_to(h.astype(jnp.int32)[:, None, :], (rb, per, ot))
+    bb = bb.reshape(rb * per, ot)
+    sh = (jax.lax.broadcasted_iota(jnp.int32, (rb * per, ot), 0) % per) * bits
+    return ((bb >> sh) & ((1 << bits) - 1)).astype(compute)
+
+
+def _i5_weights(q, h_lo, h_hi, dlo, dhi, mlo, mhi, *, with_min, group, bias,
+                hi_bits, compute):
+    """Unpack one packed-nibble tile + its two high-bit tiles into the
+    (w_lo, w_hi) dequantized weight planes."""
+    lo, hi = _i4_planes(q, 0, compute)      # nibbles [0,15], bias applied below
+    per = 8 // hi_bits
+    lo = lo + _hi_expand(h_lo, per, hi_bits, compute) * compute(16) - compute(bias)
+    hi = hi + _hi_expand(h_hi, per, hi_bits, compute) * compute(16) - compute(bias)
+    if with_min:
+        w_lo = lo * _expand_scales(dlo.astype(compute), group) + _expand_scales(mlo.astype(compute), group)
+        w_hi = hi * _expand_scales(dhi.astype(compute), group) + _expand_scales(mhi.astype(compute), group)
+    else:
+        w_lo = lo * _expand_scales(dlo.astype(compute), group)
+        w_hi = hi * _expand_scales(dhi.astype(compute), group)
+    return w_lo, w_hi
+
+
+def _i5_tiles(t, inn, out, group, hi_bits, tiles):
+    """Like _i4_tiles but the packed-row tile must also split the high-bit
+    plane into whole byte rows: ITp % (8//hi_bits * group) == 0 (group is
+    already a multiple of 8//hi_bits for every real format)."""
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    half = inn // 2
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    want = tiles[1] if tiles else (1024 if t <= 256 else 256)
+    # packed-row tile must be a multiple of `group` (scale tiles) — which,
+    # group being 16/32, also makes the high-bit plane tile whole byte rows
+    # (8//hi_bits = 8 or 4 rows/byte). Largest group-multiple divisor of the
+    # half <= want; exists because _check_aligned_i4 pins half % group == 0.
+    k = half // group
+    ITp = group * max(mdiv for mdiv in range(1, k + 1)
+                      if k % mdiv == 0 and (group * mdiv <= want or mdiv == 1))
+    return TT, OT, ITp
+
+
+def _qmm_i5_kernel(x_lo_ref, x_hi_ref, q_ref, hlo_ref, hhi_ref, dlo_ref,
+                   dhi_ref, o_ref, acc_ref, *, with_min, group, bias, hi_bits,
+                   out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        args = (dlo_ref[:, :, 0], dhi_ref[:, :, 0], dlo_ref[:, :, 1], dhi_ref[:, :, 1])
+    else:
+        args = (dlo_ref[...], dhi_ref[...], None, None)
+    w_lo, w_hi = _i5_weights(q_ref[...], hlo_ref[...], hhi_ref[...], *args,
+                             with_min=with_min, group=group, bias=bias,
+                             hi_bits=hi_bits, compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[...].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[...].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "group", "hi_bits",
+                                             "out_dtype", "tiles", "compute"))
+def qmm_i5(x, q, qh, d, m=None, bias: int = 16, group: int = QK,
+           hi_bits: int = 1, out_dtype=jnp.float32, tiles=None, compute=None):
+    """x: (T, in) f32; q: (in/2, out) uint8 half-split nibbles; qh:
+    (in*hi_bits/8, out) uint8 packed high bits; d[, m]: (in//group, out).
+    y = x @ ((nib + (hi<<4) - bias) * d (+ m))."""
+    compute = I4_COMPUTE if compute is None else compute
+    t, inn2 = x.shape[0], q.shape[0]
+    inn, out = 2 * inn2, q.shape[1]
+    assert x.shape[1] == inn
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i5_tiles(t, inn, out, group, hi_bits, tiles)
+    NH = inn2 // ITp
+    per = 8 // hi_bits
+    ITb = ITp // per          # high-bit plane rows per contraction step
+    dg = ITp // group
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_lo = pl.BlockSpec((dg, OT, 2), lambda r, o, i: (i, o, 0), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((dg, OT, 2), lambda r, o, i, NH=NH: (NH + i, o, 0), memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        d_lo = pl.BlockSpec((dg, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((dg, OT), lambda r, o, i, NH=NH: (NH + i, o), memory_space=pltpu.VMEM)
+
+    grid = (t // TT, out // OT, NH)
+    return pl.pallas_call(
+        functools.partial(_qmm_i5_kernel, with_min=with_min, group=group,
+                          bias=bias, hi_bits=hi_bits, out_dtype=out_dtype,
+                          compute=compute),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TT, ITp), lambda r, o, i: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, ITp), lambda r, o, i, NH=NH: (r, NH + i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITp, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITb, OT), lambda r, o, i: (i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITb, OT), lambda r, o, i, NH=NH: (NH + i, o), memory_space=pltpu.VMEM),
+            d_lo,
+            d_hi,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i: (r, o), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )(x, x, q, qh, qh, dm, dm)
+
+
+def _qmm_i5_stacked_kernel(l_ref, x_lo_ref, x_hi_ref, q_ref, hlo_ref, hhi_ref,
+                           dlo_ref, dhi_ref, o_ref, acc_ref, *, with_min,
+                           group, bias, hi_bits, out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        args = (dlo_ref[0, :, :, 0], dhi_ref[0, :, :, 0],
+                dlo_ref[0, :, :, 1], dhi_ref[0, :, :, 1])
+    else:
+        args = (dlo_ref[0], dhi_ref[0], None, None)
+    w_lo, w_hi = _i5_weights(q_ref[0], hlo_ref[0], hhi_ref[0], *args,
+                             with_min=with_min, group=group, bias=bias,
+                             hi_bits=hi_bits, compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[...].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[...].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "group", "hi_bits",
+                                             "out_dtype", "tiles", "compute"))
+def qmm_i5_stacked(x, q, qh, d, m, layer, bias: int = 16, group: int = QK,
+                   hi_bits: int = 1, out_dtype=jnp.float32, tiles=None,
+                   compute=None):
+    """Layer-stacked packed 5/6-bit fused dequant-matmul: q (L, in/2, out)
+    uint8 nibbles, qh (L, in*hi_bits/8, out) uint8 high bits, d/m
+    (L, in//group, out), layer a traced scalar — the decode hot path for
+    Q5/Q6-class serving."""
+    compute = I4_COMPUTE if compute is None else compute
+    t = x.shape[0]
+    inn2, out = q.shape[1], q.shape[2]
+    inn = 2 * inn2
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i5_tiles(t, inn, out, group, hi_bits, tiles)
+    NH = inn2 // ITp
+    per = 8 // hi_bits
+    ITb = ITp // per
+    dg = ITp // group
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_lo = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l: (l[0], i, o, 0), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l, NH=NH: (l[0], NH + i, o, 0), memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        d_lo = pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM)
+        d_hi = pl.BlockSpec((1, dg, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, NH),
+        in_specs=[
+            pl.BlockSpec((TT, ITp), lambda r, o, i, l: (r, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TT, ITp), lambda r, o, i, l, NH=NH: (r, NH + i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITb, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITb, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o), memory_space=pltpu.VMEM),
+            d_lo,
+            d_hi,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_i5_stacked_kernel, with_min=with_min, group=group,
+                          bias=bias, hi_bits=hi_bits, out_dtype=out_dtype,
+                          compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, x, q, qh, qh, dm, dm)
+
+
+def qmm_i5_reference(x, q, qh, d, m=None, bias: int = 16, group: int = QK,
+                     hi_bits: int = 1):
+    """jnp fallback for packed 5/6-bit weights (CPU / unaligned shapes)."""
+    codes = unpack_i4(q) + (unpack_hi_bits(qh, bits=hi_bits) << 4) - bias
+    inn, out = codes.shape[-2:]
+    w = codes.astype(jnp.float32).reshape(inn // group, group, out) * d[:, None, :]
+    if m is not None:
+        w = w + m[:, None, :]
+    return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)

@@ -46,17 +46,20 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
         else:
             q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
-    if lin.kind in ("qfast", "q4fast"):
-        # q: (L, in, O) int8 — or (L, in/2, O) packed uint8 for q4fast —
-        # and d/m: (L, nb, O), all contraction-major. q4fast under a mesh
-        # evaluates through the jnp reference path (global semantics), so
+    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast"):
+        # q: (L, in, O) int8 — or (L, in/2, O) packed uint8 for q4fast/q5fast/
+        # q6fast (plus their (L, in*b/8, O) high-bit plane qh) — and d/m:
+        # (L, nb, O), all contraction-major. Packed kinds under a mesh
+        # evaluate through the jnp reference path (global semantics), so
         # sharding the packed-row axis stays correct: GSPMD reshards the
         # unpack/concat as needed.
         if mode == "col":
             q, d = P(*lead, None, "tp"), P(*lead, None, "tp")
         else:
             q, d = P(*lead, "tp", None), P(*lead, "tp", None)
-        return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
+        return Linear(q=q, d=d, m=None if lin.m is None else d,
+                      qh=None if lin.qh is None else q,
+                      kind=lin.kind, fmt=lin.fmt)
     if lin.kind == "w8a8":
         # q: (L, in, O); d: (L, O) per-output-channel
         if mode == "col":
