@@ -423,7 +423,7 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
     g = group_of(lin.fmt)
     if out % n_parts or (out // n_parts) % 128:
         return False
-    if lin.kind == "q4fast":
+    if lin.kind in ("q4fast", "q5fast", "q6fast"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
 
@@ -465,6 +465,11 @@ def matmul_multi(xs: list, lin: Linear):
         y = qmm.qmm_i4_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n,
             bias=i4_bias(lin.fmt), group=group_of(lin.fmt))
+    elif lin.kind in ("q5fast", "q6fast") and use_kernel:
+        b5, hi5 = i5_spec(lin.fmt)
+        y = qmm.qmm_i5_stacked_multi(
+            jnp.stack(x2), lin.q, lin.qh, lin.d, lin.layer, n,
+            bias=b5, group=group_of(lin.fmt), hi_bits=hi5)
     elif lin.kind == "s4fast" and use_kernel:
         y = qmm.qmm_s4_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
@@ -712,7 +717,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
-    if merge_rkv and mode in ("block", "int4"):
+    if merge_rkv and mode in ("block", "int4", "int5"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
         # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
@@ -723,7 +728,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         if isinstance(layers.get("att_gate"), Linear):
             names.append("att_gate")
         parts = [layers.get(k) for k in names]
-        want_kind = "q4fast" if mode == "int4" else "qfast"
+        want_kind = {"block": "qfast", "int4": "q4fast", "int5": "q5fast"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on

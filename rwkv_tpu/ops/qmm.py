@@ -1155,3 +1155,82 @@ def qmm_i5_reference(x, q, qh, d, m=None, bias: int = 16, group: int = QK,
         w = w + m[:, None, :]
     return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+
+def _qmm_i5_stacked_multi_kernel(l_ref, x_lo_ref, x_hi_ref, q_ref, hlo_ref,
+                                 hhi_ref, dlo_ref, dhi_ref, o_ref, acc_ref, *,
+                                 group, bias, hi_bits, out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w_lo, w_hi = _i5_weights(q_ref[0], hlo_ref[0], hhi_ref[0], dlo_ref[0],
+                             dhi_ref[0], None, None, with_min=False,
+                             group=group, bias=bias, hi_bits=hi_bits,
+                             compute=compute)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[...] += (
+        jax.lax.dot_general(x_lo_ref[0].astype(compute), w_lo, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[0].astype(compute), w_hi, dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "bias", "group",
+                                             "hi_bits", "out_dtype", "tiles",
+                                             "compute"))
+def qmm_i5_stacked_multi(xs, q, qh, d, layer, n_parts: int, bias: int = 16,
+                         group: int = QK, hi_bits: int = 1,
+                         out_dtype=jnp.float32, tiles=None, compute=None):
+    """N projections through one packed 5/6-bit kernel pipeline: xs
+    (N, T, in), q (L, in/2, N*Eo) uint8 nibbles, qh (L, in*hi_bits/8, N*Eo)
+    uint8 high bits, d (L, in//group, N*Eo). The output tile's index map
+    picks the matching input (same fusion trick as qmm_stacked_multi).
+    Returns (T, N*Eo)."""
+    compute = I4_COMPUTE if compute is None else compute
+    n, t, inn = xs.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i5_tiles(t, inn, eo, group, hi_bits, tiles)  # tiles never span parts
+    NH = (inn // 2) // ITp
+    per_b = 8 // hi_bits
+    ITb = ITp // per_b
+    dg = ITp // group
+    per = eo // OT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, NH),
+        in_specs=[
+            pl.BlockSpec((1, TT, ITp), lambda r, o, i, l, per=per: (o // per, r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TT, ITp), lambda r, o, i, l, per=per, NH=NH: (o // per, r, NH + i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITb, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITb, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l, NH=NH: (l[0], NH + i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_i5_stacked_multi_kernel, group=group, bias=bias,
+                          hi_bits=hi_bits, out_dtype=out_dtype, compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, xs, q, qh, qh, d, d)

@@ -46,6 +46,31 @@ if mode == "micro":
         print("s4 kernel FAILED:", type(e).__name__, str(e)[-300:])
     sys.exit(0)
 
+if mode == "micro5":
+    # validates the packed 5-bit kernel's iota-shift high-bit expansion
+    # lowers under Mosaic (the one untested primitive in the q5fast path)
+    IN, OUT, T = 1024, 512, 8
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((T, IN)).astype(np.float32)
+    codes5 = rng.integers(0, 32, size=(2, IN, OUT)).astype(np.int16)
+    d = (rng.standard_normal((2, IN // 32, OUT)).astype(np.float32) * 0.01)
+    nib, hib = qmm.pack_i5(codes5, bias=0, hi_bits=1)
+    ref = np.asarray(jax.device_get(
+        qmm.qmm_i5_reference(x, jnp.asarray(nib[1]), jnp.asarray(hib[1]),
+                             jnp.asarray(d[1]), bias=16)))
+    for name, fn in (
+        ("qmm_i5", lambda: qmm.qmm_i5(x, jnp.asarray(nib[1]), jnp.asarray(hib[1]),
+                                      jnp.asarray(d[1]), bias=16)),
+        ("qmm_i5_stacked", lambda: qmm.qmm_i5_stacked(
+            x, jnp.asarray(nib), jnp.asarray(hib), jnp.asarray(d), None, 1, bias=16)),
+    ):
+        try:
+            y = np.asarray(jax.device_get(fn()))
+            print(f"{name}: max|diff| =", np.abs(y - ref).max())
+        except Exception as e:
+            print(f"{name} FAILED:", type(e).__name__, str(e)[-300:])
+    sys.exit(0)
+
 from rwkv_tpu.models import synth
 from rwkv_tpu.runtime import generate as G
 
@@ -55,7 +80,7 @@ else:
     cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
 
 t0 = time.time()
-quant = "int8" if mode == "int8" else "int4"
+quant = {"int8": "int8", "int5": "int5"}.get(mode.rstrip("m"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -78,7 +103,9 @@ def merge_rkv(params):
 
 if mode == "i16":
     qmm.I4_UNPACK = "i16"
-if mode not in ("nomerge", "w4a8g"):
+if mode not in ("nomerge", "w4a8g", "int5"):
+    # "int5" = unmerged per-projection kernels; "int5m" = fused-rkv merge
+    # through qmm_i5_stacked_multi
     params = merge_rkv(params)
 if mode == "s4":
     @jax.jit

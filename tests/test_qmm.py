@@ -282,6 +282,31 @@ def test_quantize_params_int4_merge_and_forward():
     assert c > 0.98, c
 
 
+def test_quantize_params_int5_merge_and_forward():
+    """mode='int5' with merge_rkv: merged q5fast rkv projections (nibble +
+    bit planes concatenated) flow through matmul_multi's reference path
+    off-TPU and match the UNMERGED int5 logits exactly (merging never
+    changes the codes, only the kernel batching)."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    q5 = quantize_params_device(prm, mode="int5")
+    logits_q5, _ = F.forward(q5, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+
+    q5m = quantize_params_device(prm, mode="int5", merge_rkv=True)
+    merged = [v for v in q5m["layers"].values()
+              if hasattr(v, "kind") and v.kind == "q5fast" and v.qh is not None
+              and v.q.shape[-1] > q5["layers"]["att_k"].q.shape[-1]]
+    assert merged, "no merged q5fast Linear produced"
+    logits_q5m, _ = F.forward(q5m, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(logits_q5m), np.asarray(logits_q5),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_qmm_i4_bf16_interior_default():
     """The default serving interior (I4_COMPUTE=bf16) tracks the exact f32
     reference within bf16 tolerance: the MXU dot is bf16 either way, the
@@ -497,6 +522,33 @@ def test_qmm_i5_stacked_matches_per_layer(with_min):
                                       bias=bias, compute=jnp.float32)
         np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("hi_bits", [1, 2])
+def test_qmm_i5_stacked_multi_matches_parts(hi_bits):
+    """Merged N-projection packed 5/6-bit kernel: each part's output must
+    equal its standalone packed matmul with that part's own input."""
+    L, inn, eo, n, t = 2, 512, 128, 3, 4
+    hi_max = 1 << (4 + hi_bits)
+    codes = RNG.integers(0, hi_max, size=(L, inn, n * eo)).astype(np.int16)
+    nib, hib = qmm.pack_i5(codes, bias=0, hi_bits=hi_bits)
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, n * eo)).astype(np.float32) * 0.01)
+    xs = jnp.asarray(RNG.standard_normal((n, t, inn)).astype(np.float32))
+    nib, hib = jnp.asarray(nib), jnp.asarray(hib)
+    bias = hi_max // 2
+
+    for layer in range(L):
+        with pltpu.force_tpu_interpret_mode():
+            y = qmm.qmm_i5_stacked_multi(xs, nib, hib, d, jnp.int32(layer), n,
+                                         bias=bias, hi_bits=hi_bits,
+                                         compute=jnp.float32)
+        for i in range(n):
+            y_ref = qmm.qmm_i5_reference(
+                xs[i], nib[layer, :, i * eo:(i + 1) * eo],
+                hib[layer, :, i * eo:(i + 1) * eo],
+                d[layer, :, i * eo:(i + 1) * eo], bias=bias, hi_bits=hi_bits)
+            np.testing.assert_allclose(np.asarray(y[:, i * eo:(i + 1) * eo]),
+                                       np.asarray(y_ref), atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("fmt", ["Q5_0", "Q5_1", "Q5_K", "Q6_K"])
