@@ -19,10 +19,11 @@ A `Linear` is a pytree-registered dataclass holding one of three representations
   kind='q4fast' — q: (in/2, out) uint8 half-split packed nibbles (0.5
                   bytes/element on the HBM bus — the reference's sub-byte
                   story, rwkv_file_format.inc:5-24), d/m: (in/g, out) f32.
-                  Serving representation for 4-bit-class formats
-                  (Q4_0/Q4_1 files, on-device 'int4' quantization); feeds
-                  ops/qmm.py's qmm_i4* kernels. value = (code - bias)*d (+ m)
-                  with bias derived from fmt (i4_bias).
+                  Serving representation for every format whose codes fit a
+                  nibble after bias: Q4_0/Q4_1/Q4_K, Q2_K/Q3_K (group-16
+                  scales), on-device 'int4' quantization; feeds ops/qmm.py's
+                  qmm_i4* kernels. value = (code - bias)*d (+ m) with bias
+                  derived from fmt (i4_bias).
   kind='q5fast'/'q6fast' — q: (in/2, out) uint8 nibble plane as q4fast, plus
                   qh: (in*b/8, out) uint8 packed high bits (b=1 for Q5-class,
                   b=2 for Q6_K) — 0.625 / 0.75 bytes/element. Serving
@@ -102,7 +103,10 @@ def group_of(fmt: str) -> int:
 
 
 # code bias of 4-bit-class formats once packed unsigned: value = (code-bias)*d
-_I4_BIAS = {"Q4_0": 8, "INT4": 8, "Q4_1": 0, "Q4_K": 0}
+# Q2_K ([0,3], per-16 min) and Q3_K ([-4,3], per-16 scale) fit the nibble
+# layout too — they serve at 0.5 B/elem through the same q4fast kernels
+# instead of qfast's 1.0 (their bit-exact codec codes, just packed tighter)
+_I4_BIAS = {"Q4_0": 8, "INT4": 8, "Q4_1": 0, "Q4_K": 0, "Q2_K": 0, "Q3_K": 4}
 
 # 5/6-bit-class formats: (bias, hi_bits, kind). Packed as a half-split nibble
 # plane + a dense high-bit plane (qmm.py pack_i5) — 0.625 (Q5) / 0.75 (Q6)

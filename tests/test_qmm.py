@@ -9,7 +9,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rwkv_tpu.formats import quant as qc
 from rwkv_tpu.ops import qmm
-from rwkv_tpu.ops.linear import Linear, from_record, matmul, to_dense_f32
+from rwkv_tpu.ops.linear import Linear, from_record, i4_bias, matmul, to_dense_f32
 from rwkv_tpu.formats.container import make_record
 
 RNG = np.random.default_rng(21)
@@ -91,29 +91,22 @@ def test_qfast_full_model_matches_parity_quality():
     assert abs(ds) <= 48.068733 * 1.10, ds
 
 
-@pytest.mark.parametrize("fmt", ["Q8_0", "Q2_K", "Q3_K"])
-def test_qmm_stacked_matches_per_layer(fmt):
+@pytest.mark.parametrize("g,with_min", [(32, False), (16, False), (16, True)])
+def test_qmm_stacked_matches_per_layer(g, with_min):
     """The scalar-prefetch layer-stacked kernel (the int8 decode hot path)
     must select the right layer's tiles and match the unstacked kernel, for
-    both 32- and 16-element scale groups. (Q4/Q5/Q6-class formats pack to
-    q4fast/q5fast/q6fast and are covered by the packed tests below.)"""
-    from rwkv_tpu.ops.linear import from_record, group_of
-
+    both 32- and 16-element scale groups. (All 2-6-bit formats now pack to
+    q4fast/q5fast/q6fast and are covered by the packed tests below; the
+    qfast kernels keep serving Q8_0 plus synthetic/group-16 layouts.)"""
     L, out, inn = 3, 128, 512
-    lins = []
-    for i in range(L):
-        w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
-        lins.append(from_record(make_record(f"w{i}", w, fmt), parity=False))
-    g = group_of(fmt)
-    q = jnp.stack([jnp.asarray(l.q) for l in lins])
-    d = jnp.stack([jnp.asarray(l.d) for l in lins])
-    m = None if lins[0].m is None else jnp.stack([jnp.asarray(l.m) for l in lins])
+    q = jnp.asarray(RNG.integers(-127, 128, size=(L, inn, out)).astype(np.int8))
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    m = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01) if with_min else None
     x = jnp.asarray(RNG.standard_normal((8, inn)).astype(np.float32))
 
     for layer in range(L):
         y_ref = qmm.qmm_reference(
-            x, jnp.asarray(lins[layer].q), jnp.asarray(lins[layer].d),
-            None if m is None else jnp.asarray(lins[layer].m), group=g,
+            x, q[layer], d[layer], None if m is None else m[layer], group=g,
         )
         with pltpu.force_tpu_interpret_mode():
             y_st = qmm.qmm_stacked(x, q, d, m, jnp.int32(layer), group=g)
@@ -121,23 +114,48 @@ def test_qmm_stacked_matches_per_layer(fmt):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("with_min", [False, True])
+def test_qmm_group16_kernel(with_min):
+    """The int8 Pallas kernel with 16-element scale groups. (Q2_K/Q3_K used
+    to serve through this path; they now pack to q4fast — synthetic group-16
+    codes keep the int8 kernel's g=16 regime covered.)"""
+    out, inn, g = 128, 512, 16
+    q = jnp.asarray(RNG.integers(-63, 64, size=(inn, out)).astype(np.int8))
+    d = jnp.asarray(RNG.standard_normal((inn // g, out)).astype(np.float32) * 0.01)
+    m = jnp.asarray(RNG.standard_normal((inn // g, out)).astype(np.float32) * 0.01) if with_min else None
+    x = jnp.asarray(RNG.standard_normal((8, inn)).astype(np.float32))
+    y_ref = qmm.qmm_reference(x, q, d, m, group=g)
+    with pltpu.force_tpu_interpret_mode():
+        y_pl = qmm.qmm(x, q, d, m, group=g)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("fmt", ["Q2_K", "Q3_K"])
-def test_qmm_group16_kernel(fmt):
-    """The Pallas kernel with 16-element scale groups (Q2/Q3_K)."""
-    from rwkv_tpu.ops.linear import from_record, group_of
+def test_q2_q3_from_record_packs(fmt):
+    """Q2_K/Q3_K codes fit an unsigned nibble, so they serve sub-byte too:
+    from_record gives q4fast (0.5 B/elem, group-16 scales) whose matmul
+    matches exact dequantization."""
+    from rwkv_tpu.formats import quant as qc_
+    from rwkv_tpu.ops.linear import group_of
 
     out, inn = 128, 512
     w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
-    lin = from_record(make_record("w", w, fmt), parity=False)
-    g = group_of(fmt)
-    assert g == 16
-    x = jnp.asarray(RNG.standard_normal((8, inn)).astype(np.float32))
-    y_ref = qmm.qmm_reference(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                              None if lin.m is None else jnp.asarray(lin.m), group=g)
+    rec = make_record("w", w, fmt)
+    lin = from_record(rec, parity=False)
+    assert lin.kind == "q4fast" and group_of(fmt) == 16
+    assert (lin.m is not None) == (fmt == "Q2_K")
+    assert lin.q.size == inn * out // 2
+    x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
+    y = matmul(x, lin)
+    dense = np.asarray(qc_.dequantize(fmt, rec.data, (out, inn))).T
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ dense,
+                               atol=1e-4, rtol=1e-4)
     with pltpu.force_tpu_interpret_mode():
-        y_pl = qmm.qmm(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                       None if lin.m is None else jnp.asarray(lin.m), group=g)
-    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=1e-4, rtol=1e-4)
+        y_pl = qmm.qmm_i4(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
+                          None if lin.m is None else jnp.asarray(lin.m),
+                          bias=i4_bias(fmt), group=16, compute=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(x) @ dense,
+                               atol=1e-4, rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------
