@@ -55,8 +55,9 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
     quantize='int8' synthesizes the big projections directly as int8 qfast
     Linears (codes + per-32-block scales) — never materializing a dense
     copy, so 7B-class configs fit one 16 GB chip. quantize='int4' likewise
-    synthesizes packed-nibble q4fast Linears (0.5 bytes/element), and
-    quantize='int5' nibble+bit-plane q5fast Linears (0.625 B/elem). (Real
+    synthesizes packed-nibble q4fast Linears (0.5 bytes/element),
+    quantize='int5' nibble+bit-plane q5fast Linears (0.625 B/elem), and
+    quantize='w4a8' signed-s4 grouped-integer-dot Linears. (Real
     deployments get these layouts for free by loading an already-quantized
     model file.)"""
     import jax
@@ -64,7 +65,7 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
-    if quantize in ("int8", "int4", "int5"):
+    if quantize in ("int8", "int4", "int5", "w4a8"):
         import math
 
         from rwkv_tpu.ops.linear import Linear
@@ -98,6 +99,13 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                              0.5 / math.sqrt(inn) / 9.2, jnp.bfloat16)
                 layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="q5fast",
                                    fmt="INT5")
+            elif quantize == "w4a8":
+                # uniform signed s4 codes (std ~4.6); grouped-integer-dot kind
+                q = jax.random.randint(kq, (L_, inn, out), -8, 8,
+                                       jnp.int32).astype(jnp.int4)
+                d = jnp.full((L_, inn // 32, out),
+                             0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
+                layers[k] = Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")
             else:
                 q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
                 # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)

@@ -361,10 +361,15 @@ def matmul(x, lin: Linear):
 
         g = group_of(lin.fmt)
         inn, out = lin.q.shape[-2], lin.q.shape[-1]
-        if (lin.layer is not None and jax.default_backend() == "tpu"
-                and qmm.aligned_for_kernel(inn, out, g)):
+        if jax.default_backend() == "tpu" and qmm.aligned_for_kernel(inn, out, g):
             xt, da = qmm.quantize_acts_s8(x)
-            return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer, group=g) * da
+            if lin.layer is not None:
+                return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer, group=g) * da
+            if lin.q.ndim == 2:
+                # unstacked (e.g. the head): a length-1 layer axis is a free
+                # reshape, reusing the stacked kernel
+                return qmm.qmm_w4a8_stacked(xt, lin.q[None], lin.d[None], 0,
+                                            group=g) * da
         q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         return qmm.qmm_w4a8_reference(x, q, d, group=g)
@@ -480,6 +485,17 @@ def matmul_multi(xs: list, lin: Linear):
     elif lin.kind == "qfast" and use_kernel:
         y = qmm.qmm_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n, group=group_of(lin.fmt))
+    elif lin.kind == "w4a8g" and use_kernel:
+        # grouped-integer-dot merge: quantize each part's activations once,
+        # one kernel pipeline for all N projections, per-part activation
+        # scales applied after the split
+        qa = [qmm.quantize_acts_s8(x) for x in x2]
+        y = qmm.qmm_w4a8_stacked_multi(
+            jnp.stack([xt for xt, _ in qa]), lin.q, lin.d, lin.layer, n,
+            group=group_of(lin.fmt))
+        eo = y.shape[-1] // n
+        return [(y[..., i * eo:(i + 1) * eo] * qa[i][1]).reshape(*lead, eo)
+                for i in range(n)]
     else:
         # reference path: per-part slices (identical math)
         q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
@@ -491,6 +507,11 @@ def matmul_multi(xs: list, lin: Linear):
             y = jnp.concatenate(
                 [qmm.qmm_i4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
                                       d[:, i * eo:(i + 1) * eo], bias=b, group=g)
+                 for i in range(n)], axis=-1)
+        elif lin.kind == "w4a8g":
+            y = jnp.concatenate(
+                [qmm.qmm_w4a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                        d[:, i * eo:(i + 1) * eo], group=g)
                  for i in range(n)], axis=-1)
         elif lin.kind in ("q5fast", "q6fast"):
             b, hi = i5_spec(lin.fmt)
@@ -518,7 +539,7 @@ def stack(lins: list) -> Linear:
     """
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
-    packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast"}
+    packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"}
     if len(kinds) > 1 or (kinds <= packed and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
@@ -645,6 +666,38 @@ def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
     return Linear(q=nib, qh=hib, d=d, m=None, kind="q5fast", fmt="INT5")
 
 
+def quantize_dense_w4a8_device(lin: Linear, group: int = 32) -> Linear:
+    """Dense Linear -> grouped-integer-dot 4-bit Linear (kind='w4a8g'):
+    q (..., in, out) jnp.int4 signed codes (XLA packs 2/byte in HBM — same
+    bus bytes as q4fast), d (..., in/group, out) bf16 per-group scales.
+    d = absmax/7, code = clip(round(w/d), -8, 7). Same weight values as the
+    'int4' mode; the matmul contracts s8-quantized activations against the
+    s4 codes on the MXU with NO per-element dequant pass (qmm.py w4a8
+    section) — activation rounding is the w8a8-class recipe (corr > 0.999
+    on trained tiny models)."""
+    if lin.kind == "w4a8g":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        # bf16 scales; codes quantized against the bf16-rounded scale — see
+        # quantize_dense_device
+        d = (amax / jnp.float32(7.0)).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / df, 0.0)
+        q = jnp.clip(jnp.round(b * inv[..., None, :]), -8, 7)
+        return q.astype(jnp.int4).reshape(*lead, inn, o), d
+
+    q, d = _q(lin.w)
+    return Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")
+
+
 def quantize_dense_w8a8_device(lin: Linear) -> Linear:
     """Dense Linear -> per-output-channel int8 Linear (kind='w8a8').
 
@@ -675,34 +728,39 @@ def quantize_dense_w8a8_device(lin: Linear) -> Linear:
 
 
 def quantize_params_device(params, keys=None, mode: str = "block",
-                           consume: bool = False, head: bool = False,
+                           consume: bool = False, head=False,
                            merge_rkv: bool = False) -> dict:
     """Quantize a param pytree's projection Linears to int8 on device.
 
     Mirrors the reference's quantization policy (rwkv_quantize.inc:1-13):
     emb/head and the small low-rank tensors stay dense; the big per-layer
     projections are quantized. head=True additionally quantizes the head
-    matmul — measured on v5e decode (B=8, 1.5B) this LOSES ~8% for 'block'
-    mode (the per-tile dequant pass costs more than the halved HBM traffic
-    saves at 8 logit rows; docs/KERNELS.md "measured dead ends"), so the
-    default matches the reference policy; it can win for memory-capacity-
-    bound deployments. `keys` overrides the layer-Linear selection.
+    matmul with the same mode; head='w8a8'/'w4a8'/... picks a DIFFERENT mode
+    for the head (the bf16 head is ~30%% of a 1.5B decode step's HBM traffic,
+    and the integer-dot modes shrink it without the per-tile dequant pass
+    that made the 'block' head a measured 8%% loss at 8 logit rows —
+    docs/KERNELS.md "measured dead ends"). The default (head untouched)
+    matches the reference policy. `keys` overrides the layer-Linear
+    selection.
     mode: 'block' (int8, per-32-block scales, fused dequant kernels), 'int4'
     (packed nibbles, per-32-block scales — half of 'block's weight traffic,
     the sub-byte serving mode), 'int5' (nibbles + a 5th-bit plane, 0.625
-    B/elem — the Q5-class quality point) or 'w8a8' (per-channel scales,
-    native int8 MXU matmuls).
+    B/elem — the Q5-class quality point), 'w8a8' (per-channel scales,
+    native int8 MXU matmuls) or 'w4a8' (s4 codes + per-32 scales, grouped
+    integer dots — int4's bus bytes with no in-kernel dequant pass).
     consume=True frees each dense HBM buffer as it is converted — required
     to quantize models whose dense + quantized copies don't fit HBM together
     (e.g. a 7B bf16 model on one 16 GB chip). The input pytree's converted
     leaves become invalid.
     """
-    quantize_one = {
+    quantizers = {
         "block": quantize_dense_device,
         "int4": quantize_dense_i4_device,
         "int5": quantize_dense_i5_device,
         "w8a8": quantize_dense_w8a8_device,
-    }[mode]
+        "w4a8": quantize_dense_w4a8_device,
+    }
+    quantize_one = quantizers[mode]
 
     def convert(lin):
         q = quantize_one(lin)
@@ -721,7 +779,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
-    if merge_rkv and mode in ("block", "int4", "int5"):
+    if merge_rkv and mode in ("block", "int4", "int5", "w4a8"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
         # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
@@ -732,7 +790,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         if isinstance(layers.get("att_gate"), Linear):
             names.append("att_gate")
         parts = [layers.get(k) for k in names]
-        want_kind = {"block": "qfast", "int4": "q4fast", "int5": "q5fast"}[mode]
+        want_kind = {"block": "qfast", "int4": "q4fast", "int5": "q5fast",
+                     "w4a8": "w4a8g"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on
@@ -748,15 +807,27 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     if head and isinstance(params.get("head"), Linear):
         from rwkv_tpu.ops import qmm
 
+        hmode = mode if head is True else head
+        if hmode not in quantizers:
+            raise ValueError(f"unknown head quantize mode {hmode!r}")
         hd = params["head"]
         inn, o = hd.shape
         ok = {
             "block": lambda: qmm.aligned_for_kernel(inn, o, QK),
             "int4": lambda: qmm.aligned_i4(inn, o, QK),
+            "int5": lambda: qmm.aligned_i4(inn, o, QK),
+            # the integer-dot modes have shape-agnostic XLA fallbacks that
+            # keep weights packed (no per-step dequant materialization), so
+            # they are safe to apply at any head shape
             "w8a8": lambda: True,
-        }[mode]()
+            "w4a8": lambda: True,
+        }[hmode]()
         if ok:
-            out["head"] = convert(hd)
+            hq = quantizers[hmode](hd)
+            if consume and hq is not hd and hd.kind == "dense" and hasattr(hd.w, "delete"):
+                jax.block_until_ready(jax.tree.leaves(hq))
+                hd.w.delete()
+            out["head"] = hq
     return out
 
 
@@ -768,7 +839,7 @@ def to_dense_f32(lin: Linear) -> Linear:
     if lin.kind == "w8a8":
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
-    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast"):
+    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
         if lin.kind == "q4fast":
             qp = np.asarray(lin.q).astype(np.int32)

@@ -852,6 +852,77 @@ def qmm_w4a8_stacked(xt, q, d, layer, group: int = QK, out_dtype=jnp.float32,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xt, q, d)
 
 
+def _qmm_w4a8_stacked_multi_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref,
+                                   *, group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xt = xt_ref[0]                        # (IT, TT) int8, contraction-major
+    q = q_ref[0]                          # (IT, OT) int4
+    it, tt = xt.shape
+    ot = q.shape[1]
+    nb = it // group
+
+    z = jax.lax.dot_general(
+        xt.reshape(nb, group, tt), q.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                     # (nb, TT, OT) int32
+    d = d_ref[0].astype(jnp.float32)      # (nb, OT)
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype",
+                                             "tiles"))
+def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, group: int = QK,
+                           out_dtype=jnp.float32, tiles=None):
+    """N projections through one grouped-integer-dot pipeline: xts (N, in, T)
+    int8 pre-quantized transposed activations (quantize_acts_s8 per part),
+    q (L, in, N*Eo) jnp.int4 signed codes, d (L, in//group, N*Eo) f32/bf16.
+    The output tile's index map picks the matching activation block (same
+    fusion trick as qmm_stacked_multi). Returns UNSCALED (T, N*Eo) f32 —
+    callers split along the last axis and multiply each part by its own
+    per-row activation scale da."""
+    n, inn, t = xts.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    _check_aligned(inn, out, group)
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    TT = _pick_tile(t, 256) if t > 256 else t
+    OT = _pick_tile(eo, tiles[0] if tiles else 512)   # tiles never span parts
+    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+    per = eo // OT
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn // IT),
+        in_specs=[
+            pl.BlockSpec((1, IT, TT), lambda r, o, i, l, per=per: (o // per, i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_w4a8_stacked_multi_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xts, q, d)
+
+
 def qmm_w4a8_reference(x, q, d, group: int = QK):
     """jnp reference for the w4a8 grouped path: same activation quantization
     and block-partial-sum rescale, XLA ops only."""

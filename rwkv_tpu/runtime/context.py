@@ -40,9 +40,11 @@ class Context:
         'int8' (per-32-block scales, fused dequant kernels), 'int4' (packed
         nibbles, per-32-block scales — half the weight traffic of int8),
         'int5' (nibbles + a 5th-bit plane, 0.625 B/elem — the Q5-class
-        quality point) or 'w8a8' (per-channel scales, native int8 MXU
-        matmuls). Weights are quantized once in HBM after loading; the model
-        file is untouched. Implies fast (non-parity) numerics."""
+        quality point), 'w8a8' (per-channel scales, native int8 MXU
+        matmuls) or 'w4a8' (s4 codes + per-32 scales, grouped integer dots —
+        int4's bus bytes with no in-kernel dequant pass). Weights are
+        quantized once in HBM after loading; the model file is untouched.
+        Implies fast (non-parity) numerics."""
         if _shared is not None:
             self.cfg, self._params, self._jit_cache, self.parity = _shared
         else:
@@ -59,7 +61,7 @@ class Context:
                 from rwkv_tpu.ops.linear import quantize_params_device
 
                 mode = {"int8": "block", "block": "block", "int4": "int4",
-                        "int5": "int5", "w8a8": "w8a8"}.get(quantize)
+                        "int5": "int5", "w8a8": "w8a8", "w4a8": "w4a8"}.get(quantize)
                 if mode is None:
                     raise RWKVArgsError(f"unknown quantize mode {quantize!r}")
                 params = quantize_params_device(params, mode=mode)

@@ -8,6 +8,10 @@ Modes:
   i16         — base with I4_UNPACK=i16
   s4          — q4fast converted to native-s4 Linears (merged)
   w8a8head    — base + w8a8-quantized head (no dequant pass, half traffic)
+  w4a8head    — base + w4a8 grouped-integer-dot head (quarter traffic)
+  w4a8g       — w4a8 grouped integer-dot blocks, unmerged
+  w4a8gm      — w4a8 grouped integer-dot blocks, merged rkv
+  w4a8best    — w4a8 merged blocks + w4a8 head (candidate speed-of-light)
   int8        — int8 qfast baseline (merged)
 """
 import sys, time
@@ -46,6 +50,40 @@ if mode == "micro":
         print("s4 kernel FAILED:", type(e).__name__, str(e)[-300:])
     sys.exit(0)
 
+if mode == "micro4w":
+    # validates the w4a8 grouped integer-dot kernels lower under Mosaic:
+    # s8 x s4 batched dots (contraction over the group dim), int32 partial
+    # sums, per-block rescale — single, stacked and multi variants
+    IN, OUT, T, N = 1024, 512, 8, 3
+    rng = np.random.default_rng(0)
+    codes = rng.integers(-8, 8, size=(2, IN, N * OUT)).astype(np.int8)
+    d = (rng.standard_normal((2, IN // 32, N * OUT)).astype(np.float32) * 0.01)
+    s4 = jnp.asarray(codes, dtype=jnp.int4)
+    dj = jnp.asarray(d)
+    xs = rng.standard_normal((N, T, IN)).astype(np.float32)
+    refs = [np.asarray(jax.device_get(
+        qmm.qmm_w4a8_reference(xs[i], jnp.asarray(codes[1]), dj[1])))
+        for i in range(N)]
+    try:
+        xt, da = qmm.quantize_acts_s8(jnp.asarray(xs[0]))
+        y = np.asarray(jax.device_get(
+            qmm.qmm_w4a8_stacked(xt, s4, dj, 1))) * np.asarray(jax.device_get(da))
+        print("w4a8 stacked: max|diff| =", np.abs(y - refs[0]).max())
+    except Exception as e:
+        print("w4a8 stacked FAILED:", type(e).__name__, str(e)[-300:])
+    try:
+        qa = [qmm.quantize_acts_s8(jnp.asarray(xs[i])) for i in range(N)]
+        y = np.asarray(jax.device_get(qmm.qmm_w4a8_stacked_multi(
+            jnp.stack([t_ for t_, _ in qa]), s4, dj, 1, N)))
+        err = max(np.abs(y[:, i * (N * OUT) // N:(i + 1) * (N * OUT) // N]
+                         * np.asarray(jax.device_get(qa[i][1]))
+                         - refs[i][:, i * (N * OUT) // N:(i + 1) * (N * OUT) // N]).max()
+                  for i in range(N))
+        print("w4a8 multi: max|diff| =", err)
+    except Exception as e:
+        print("w4a8 multi FAILED:", type(e).__name__, str(e)[-300:])
+    sys.exit(0)
+
 if mode == "micro5":
     # validates the packed 5-bit kernel's iota-shift high-bit expansion
     # lowers under Mosaic (the one untested primitive in the q5fast path)
@@ -80,7 +118,8 @@ else:
     cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
 
 t0 = time.time()
-quant = {"int8": "int8", "int5": "int5"}.get(mode.rstrip("m"), "int4")
+quant = {"int8": "int8", "int5": "int5", "w4a8g": "w4a8",
+         "w4a8best": "w4a8"}.get(mode.rstrip("m"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -105,8 +144,14 @@ if mode == "i16":
     qmm.I4_UNPACK = "i16"
 if mode not in ("nomerge", "w4a8g", "int5"):
     # "int5" = unmerged per-projection kernels; "int5m" = fused-rkv merge
-    # through qmm_i5_stacked_multi
+    # through qmm_i5_stacked_multi; likewise w4a8g vs w4a8gm
     params = merge_rkv(params)
+if mode in ("w8a8head", "w4a8head", "w4a8best"):
+    params = dict(params)
+    qh = {"w8a8head": L.quantize_dense_w8a8_device,
+          "w4a8head": L.quantize_dense_w4a8_device,
+          "w4a8best": L.quantize_dense_w4a8_device}[mode]
+    params["head"] = qh(params["head"])
 if mode == "s4":
     @jax.jit
     def to_s4(qp):
@@ -116,19 +161,6 @@ if mode == "s4":
         if isinstance(v, L.Linear) and v.kind == "q4fast":
             layers[k] = L.Linear(q=to_s4(v.q), d=v.d, m=None, kind="s4fast", fmt="INT4")
     params = dict(params); params["layers"] = layers
-if mode in ("s4w", "w4a8g"):
-    # w4a8g: grouped integer-dot path (no merge; singles only for now)
-    @jax.jit
-    def to_s4(qp):
-        return (qmm.unpack_i4(qp) - 8).astype(jnp.int4)
-    layers = dict(params["layers"])
-    for k, v in list(layers.items()):
-        if isinstance(v, L.Linear) and v.kind == "q4fast":
-            layers[k] = L.Linear(q=to_s4(v.q), d=v.d, m=None, kind="w4a8g", fmt="INT4")
-    params = dict(params); params["layers"] = layers
-if mode == "w8a8head":
-    params = dict(params)
-    params["head"] = L.quantize_dense_w8a8_device(params["head"])
 jax.block_until_ready(jax.tree.leaves(params))
 
 B, steps, reps = 8, 64, 3

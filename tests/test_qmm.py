@@ -461,6 +461,86 @@ def test_w4a8g_linear_dispatch():
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
 
 
+def test_qmm_w4a8_stacked_multi_matches_parts():
+    """Merged grouped-integer-dot kernel: each slice of the fused N-projection
+    output (rescaled by its part's activation scale) must equal that part's
+    single-projection w4a8 result."""
+    inn, eo, t, L, n = 512, 128, 8, 2, 3
+    codes = RNG.integers(-8, 8, size=(L, inn, n * eo)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, n * eo)).astype(np.float32) * 0.01)
+    s4 = jnp.asarray(codes, dtype=jnp.int4)
+    xs = jnp.asarray(RNG.standard_normal((n, t, inn)).astype(np.float32))
+
+    qa = [qmm.quantize_acts_s8(xs[i]) for i in range(n)]
+    with pltpu.force_tpu_interpret_mode():
+        for layer in range(L):
+            y = np.asarray(qmm.qmm_w4a8_stacked_multi(
+                jnp.stack([xt for xt, _ in qa]), s4, d, jnp.int32(layer), n))
+            for i in range(n):
+                part = y[:, i * eo:(i + 1) * eo] * np.asarray(qa[i][1])
+                ref = np.asarray(qmm.qmm_w4a8_stacked(
+                    qa[i][0], s4[:, :, i * eo:(i + 1) * eo],
+                    d[:, :, i * eo:(i + 1) * eo], jnp.int32(layer))
+                ) * np.asarray(qa[i][1])
+                np.testing.assert_allclose(part, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_w4a8_merge_and_forward():
+    """mode='w4a8' with merge_rkv on a real tiny model: merged w4a8g rkv
+    projections flow through matmul_multi's reference path off-TPU, match
+    the UNMERGED w4a8 logits exactly (merging never changes codes or the
+    activation quantization), and stay close to the dense fast path."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+
+    qw = quantize_params_device(prm, mode="w4a8")
+    kinds = {k: v.kind for k, v in qw["layers"].items() if hasattr(v, "kind")}
+    assert any(v == "w4a8g" for v in kinds.values()), kinds
+    logits_qw, _ = F.forward(qw, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_qw))[0, 1]
+    # int4 weight band + a8 activation rounding
+    assert c > 0.98, c
+
+    qwm = quantize_params_device(prm, mode="w4a8", merge_rkv=True)
+    merged = [v for v in qwm["layers"].values()
+              if hasattr(v, "kind") and v.kind == "w4a8g"
+              and v.q.shape[-1] > qw["layers"]["att_k"].q.shape[-1]]
+    assert merged, "no merged w4a8g Linear produced"
+    logits_qwm, _ = F.forward(qwm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(logits_qwm), np.asarray(logits_qw),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_quantize_params_head_mode_override():
+    """head can pick a different quantize mode than the blocks — e.g. int4
+    blocks + a w8a8/w4a8 head (the head is ~30% of 1.5B decode traffic).
+    Logit quality stays in the 4-bit band."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+
+    for hmode, hkind in (("w8a8", "w8a8"), ("w4a8", "w4a8g")):
+        q = quantize_params_device(prm, mode="int4", head=hmode)
+        assert q["head"].kind == hkind, (hmode, q["head"].kind)
+        logits_q, _ = F.forward(q, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+        c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q))[0, 1]
+        assert c > 0.98, (hmode, c)
+
+    with pytest.raises(ValueError):
+        quantize_params_device(prm, mode="int4", head="nope")
+
+
 # ---------------------------------------------------------------------------
 # Packed 5/6-bit (nibble + high-bit plane) kernels — Q5/Q6-class sub-byte
 # serving
