@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _wkv7_step_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
                       out_ref, sT_ref):
-    s = s0_ref[...]                                  # (HB, Sv, Sk)
+    # the state may be carried in bf16 (halves the dominant HBM term at
+    # large batch); compute is f32 either way, rounded back on store
+    s = s0_ref[...].astype(jnp.float32)              # (HB, Sv, Sk)
     a = a_ref[...]
     sa = jnp.sum(s * a[:, None, :], axis=2)          # (HB, Sv)
     s = (
@@ -51,14 +53,15 @@ def _wkv7_step_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
         + v_ref[...][:, :, None] * k_ref[...][:, None, :]
         + sa[:, :, None] * b_ref[...][:, None, :]
     )
-    sT_ref[...] = s
+    sT_ref[...] = s.astype(sT_ref.dtype)
     out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("head_block",))
 def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 32):
     """One decode step, (B, H) folded: r/w/k/v/a/b (BH, S) f32, state
-    (BH, Sv, Sk) f32. Returns (out (BH, S), new state)."""
+    (BH, Sv, Sk) f32 or bf16 (the carry dtype is preserved on the output
+    state). Returns (out (BH, S) f32, new state)."""
     BH, S = r.shape
     HB = min(head_block, BH)
     while BH % HB:
@@ -72,7 +75,7 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 32):
         out_specs=[vec_spec, st_spec],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BH, S, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), state.dtype),
         ],
     )(r, w, k, v, a, b, state)
     return out, st
@@ -91,20 +94,21 @@ def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 32):
 
 def _wkv56_step_kernel(r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref,
                        out_ref, sT_ref):
-    s = s0_ref[...]                                  # (HB, Sk, Sv)
+    s = s0_ref[...].astype(jnp.float32)              # (HB, Sk, Sv)
     k = k_ref[...]
     v = v_ref[...]
     kv = k[:, :, None] * v[:, None, :]
     out_ref[...] = jnp.sum(
         (s + tf_ref[...][:, :, None] * kv) * r_ref[...][:, :, None], axis=1)
-    sT_ref[...] = s * w_ref[...][:, :, None] + kv
+    sT_ref[...] = (s * w_ref[...][:, :, None] + kv).astype(sT_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("head_block",))
 def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 32):
     """One v5/v6 decode step, (B, H) folded: r/k/v/w/tf (BH, S) f32, state
-    (BH, Sk, Sv) f32. Returns (out (BH, S), new state). Same
-    one-read-one-write rationale as the wkv7 step kernel above."""
+    (BH, Sk, Sv) f32 or bf16 (carry dtype preserved, f32 compute). Returns
+    (out (BH, S) f32, new state). Same one-read-one-write rationale as the
+    wkv7 step kernel above."""
     BH, S = r.shape
     HB = min(head_block, BH)
     while BH % HB:
@@ -118,7 +122,7 @@ def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 32):
         out_specs=[vec_spec, st_spec],
         out_shape=[
             jax.ShapeDtypeStruct((BH, S), jnp.float32),
-            jax.ShapeDtypeStruct((BH, S, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), state.dtype),
         ],
     )(r, k, v, w, tf, state)
     return out, st

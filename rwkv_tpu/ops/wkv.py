@@ -144,11 +144,18 @@ def wkv4_step(k, v, time_first, time_decay, aa, bb, pp):
 
 def wkv56_step(r, k, v, tf, w, state):
     """One v5/v6 step, batched: r/k/v/w (..., H, S); tf (H, S) or (..., H, S);
-    state (..., H, S, S) indexed [k_dim, v_dim]. Returns (out, state)."""
+    state (..., H, S, S) indexed [k_dim, v_dim]. Returns (out, state).
+
+    The state may be carried in a reduced dtype (bf16 decode-loop carry —
+    halves the dominant state HBM traffic at large batch): compute runs in
+    f32 and the new state is rounded back to the carry dtype. f32 carries
+    are untouched."""
+    st_dtype = state.dtype
+    s = state.astype(jnp.float32)
     kv = k[..., :, None] * v[..., None, :]
-    out = jnp.sum((state + tf[..., :, None] * kv) * r[..., :, None], axis=-2)
-    state = state * w[..., :, None] + kv
-    return out, state
+    out = jnp.sum((s + tf[..., :, None] * kv) * r[..., :, None], axis=-2)
+    s = s * w[..., :, None] + kv
+    return out, s.astype(st_dtype)
 
 
 def wkv7_step(r, w, k, v, a, b, state):
@@ -159,15 +166,20 @@ def wkv7_step(r, w, k, v, a, b, state):
     around the OLD state (out = s.(w*r) + v(k.r) + sa(b.r)) to cut the
     nominal state-HBM passes from 5 to 3 REGRESSED decode 3.58 -> 4.33
     ms/step at B=8 — XLA's fusion of this exact form is already better than
-    the hand-restructured one."""
-    sa = jnp.sum(state * a[..., None, :], axis=-1)
-    state = (
-        state * w[..., None, :]
+    the hand-restructured one.
+
+    Reduced-dtype state carries (bf16) are supported the same way as
+    wkv56_step: f32 compute, new state rounded back to the carry dtype."""
+    st_dtype = state.dtype
+    s = state.astype(jnp.float32)
+    sa = jnp.sum(s * a[..., None, :], axis=-1)
+    s = (
+        s * w[..., None, :]
         + v[..., :, None] * k[..., None, :]
         + sa[..., :, None] * b[..., None, :]
     )
-    out = jnp.sum(state * r[..., None, :], axis=-1)
-    return out, state
+    out = jnp.sum(s * r[..., None, :], axis=-1)
+    return out, s.astype(st_dtype)
 
 
 def wkv7(r, w, k, v, a, b, state, valid):

@@ -18,13 +18,30 @@ from rwkv_tpu.models import forward as fwd
 from rwkv_tpu.models.params import ModelConfig
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps"))
-def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
+def _cast_heads(state, dtype):
+    """Cast the (large) wkv heads state to `dtype`, leaving the small f32
+    token-shift vectors (and v4's exp-max accumulators) untouched."""
+    if "heads" not in state:
+        return state
+    out = dict(state)
+    out["heads"] = state["heads"].astype(dtype)
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "state_bf16"))
+def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int,
+                  state_bf16: bool = False):
     """Greedy-decode `steps` tokens for a batch of streams entirely on device.
 
     tokens0: (B,) int32 last prompt token per stream; state leaves have a
     leading B axis. Returns (tokens (B, steps), final_state).
-    """
+
+    state_bf16=True carries the wkv heads state in bf16 BETWEEN steps (f32
+    compute inside each step, rounded on the carry): the (L, B, H, S, S)
+    state is the dominant HBM term at large batch (read+write ~3.3 GB/step
+    at B=128 on a 1.5B model) and the loop carry materializes in HBM every
+    step. The caller's state contract stays f32 at both ends; quality drift
+    is pinned by tests/test_forward_step.py's teacher-forced drift test."""
 
     def step(carry, _):
         tok, st = carry
@@ -38,13 +55,17 @@ def greedy_decode(params, cfg: ModelConfig, tokens0, state, steps: int):
     # pipelines weight streaming across steps (+23% with the unrolled layer
     # loop on a 1.5B int8 config)
     st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+    if state_bf16:
+        st_lm = _cast_heads(st_lm, jnp.bfloat16)
     (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), None, length=steps,
                                     unroll=min(8, steps))
+    if state_bf16:
+        st_lm = _cast_heads(st_lm, jnp.float32)
     state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 
 
-@partial(jax.jit, static_argnames=("cfg", "steps", "top_k"))
+@partial(jax.jit, static_argnames=("cfg", "steps", "top_k", "state_bf16"))
 def sampled_decode(
     params,
     cfg: ModelConfig,
@@ -55,6 +76,7 @@ def sampled_decode(
     temperature: float = 1.0,
     top_p: float = 0.8,
     top_k: int = 512,
+    state_bf16: bool = False,
 ):
     """Temperature + nucleus sampling fully on device (reference semantics
     from sampling.py:10-52, with the nucleus evaluated inside a top-k window —
@@ -80,8 +102,12 @@ def sampled_decode(
 
     keys = jax.random.split(key, steps)
     st_lm = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), state)
+    if state_bf16:
+        st_lm = _cast_heads(st_lm, jnp.bfloat16)
     (_, st_lm), toks = jax.lax.scan(step, (tokens0, st_lm), keys,
                                     unroll=min(8, steps))
+    if state_bf16:
+        st_lm = _cast_heads(st_lm, jnp.float32)
     state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), st_lm)
     return toks.T, state
 

@@ -14,6 +14,12 @@ Usage:
         [--ignore-first-n 50] [--token-limit N] [--tokenizer auto] \
         [--workdir DIR]
 
+Lowercase entries in --formats are SERVING modes (int8, int4, int5, w8a8,
+w4a8): the model is quantized on device at load time (Context(quantize=...))
+instead of writing a file, and the size column reports the in-HBM weight
+footprint — use these to compare the packed serving kernels' quality against
+the file formats they correspond to.
+
 No network access is needed — everything runs locally against the checkpoint
 you provide.
 """
@@ -27,10 +33,28 @@ import tempfile
 DEFAULT_FORMATS = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "FP16", "FP32")
 
 
+# on-device serving quantization modes (Context(quantize=...)) — lowercase to
+# distinguish from file formats; "size" is the in-HBM weight footprint
+SERVING_MODES = ("int8", "int4", "int5", "w8a8", "w4a8")
+
+
+def _params_gb(params) -> float:
+    import jax
+
+    bits = 0
+    for x in jax.tree.leaves(params):
+        if hasattr(x, "size") and hasattr(x, "dtype"):
+            bits += x.size * (4 if x.dtype.name == "int4" else 8 * x.dtype.itemsize)
+    return bits / 8 / 1e9
+
+
 def sweep(model_path: str, tokens, formats=DEFAULT_FORMATS,
           ignore_first_n: int = 0, workdir: str | None = None, chunk_size: int = 256):
     """Returns a list of row dicts: format, perplexity, ms_per_token, size_gb.
-    `model_path` must be a .bin (converted) FP32 or FP16 model."""
+    `model_path` must be a .bin (converted) FP32 or FP16 model. Entries in
+    `formats` may also be serving modes (SERVING_MODES, lowercase): those
+    quantize on device at load time instead of writing a file, and size_gb
+    is the in-HBM weight footprint rather than a file size."""
     from rwkv_tpu.formats.quantize import quantize_model_file
     from rwkv_tpu.formats import container, convert as conv
     from rwkv_tpu.runtime.context import Context
@@ -43,24 +67,29 @@ def sweep(model_path: str, tokens, formats=DEFAULT_FORMATS,
 
     rows = []
     for fmt in formats:
-        if fmt == src_fmt:
-            path = model_path
-        elif fmt in ("FP16", "FP32"):
-            # re-encode via the converter's record writer (dtype change only)
-            path = os.path.join(tmp, f"model-{fmt}.bin")
-            if not os.path.exists(path):
-                conv.rewrite_precision(model_path, path, fmt)
+        if fmt in SERVING_MODES:
+            ctx = Context(model_path, quantize=fmt)
+            size_gb = _params_gb(ctx._params)
         else:
-            path = os.path.join(tmp, f"model-{fmt}.bin")
-            if not os.path.exists(path):
-                quantize_model_file(model_path, path, fmt)
-        ctx = Context(path)
+            if fmt == src_fmt:
+                path = model_path
+            elif fmt in ("FP16", "FP32"):
+                # re-encode via the converter's record writer (dtype change only)
+                path = os.path.join(tmp, f"model-{fmt}.bin")
+                if not os.path.exists(path):
+                    conv.rewrite_precision(model_path, path, fmt)
+            else:
+                path = os.path.join(tmp, f"model-{fmt}.bin")
+                if not os.path.exists(path):
+                    quantize_model_file(model_path, path, fmt)
+            ctx = Context(path)
+            size_gb = os.path.getsize(path) / 1e9
         r = measure_perplexity(ctx, tokens, ignore_first_n, chunk_size=chunk_size)
         rows.append(dict(
             format=fmt,
             perplexity=r.perplexity,
             ms_per_token=r.ms_per_token,
-            size_gb=os.path.getsize(path) / 1e9,
+            size_gb=size_gb,
         ))
         del ctx
     return rows

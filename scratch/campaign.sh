@@ -21,6 +21,11 @@ run 900 python -u scratch/exp_i4.py w4a8gm
 run 900 python -u scratch/exp_i4.py w4a8head
 run 900 python -u scratch/exp_i4.py w4a8best
 run 900 python -u scratch/exp_i4.py w8a8head
+# 2b. bf16 state carry at large batch (state traffic dominates there):
+#     B=128 with/without, plus the B=8 sanity point
+run 900 python -u scratch/exp_i4.py base 1p5 128
+run 900 env RWKV_EXP_SBF16=1 python -u scratch/exp_i4.py base 1p5 128
+run 900 env RWKV_EXP_SBF16=1 python -u scratch/exp_i4.py w4a8best 1p5 8
 # 3. 7B point (VERDICT #3): best-variant decode + trace
 run 900 python -u scratch/exp_i4.py w4a8best 7b
 run 1200 python -u scratch/profile_dec.py int4 7b

@@ -1,6 +1,8 @@
 """int4 decode experiments, one mode per process. Usage:
-  python scratch/exp_i4.py MODE [SIZE]
-SIZE: 1p5 (default) | 7b
+  python scratch/exp_i4.py MODE [SIZE] [BATCH]
+SIZE: 1p5 (default) | 7b; BATCH default 8.
+Env RWKV_EXP_SBF16=1 carries the wkv heads state in bf16 between decode
+steps (state_bf16=True — the large-batch state-traffic lever).
 Modes:
   micro       — correctness of s4 kernel + i16 unpack on chip (fast)
   base        — int4 decode, current defaults (merged rkv like bench.py)
@@ -163,16 +165,20 @@ if mode == "s4":
     params = dict(params); params["layers"] = layers
 jax.block_until_ready(jax.tree.leaves(params))
 
-B, steps, reps = 8, 64, 3
+import os
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+sbf16 = os.environ.get("RWKV_EXP_SBF16") == "1"
+steps, reps = 64, 3
 state = G.batched_init_state(cfg, B)
 tok0 = jnp.zeros((B,), jnp.int32)
 t0 = time.time()
-toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps, state_bf16=sbf16)
 _ = jax.device_get(toks)
 print(f"compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
 t0 = time.time()
 for _ in range(reps):
-    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps, state_bf16=sbf16)
 _ = jax.device_get(toks)
 dt = (time.time() - t0) / reps
-print(f"RESULT {mode} {size}: {B*steps/dt:.1f} tok/s ({1000*dt/steps:.3f} ms/step)")
+tag = f"{mode}{'+sbf16' if sbf16 else ''}"
+print(f"RESULT {tag} {size} B={B}: {B*steps/dt:.1f} tok/s ({1000*dt/steps:.3f} ms/step)")

@@ -64,6 +64,53 @@ def test_greedy_decode_matches_stepwise():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
+def test_bf16_state_carry_drift():
+    """state_bf16 decode carries the wkv heads state in bf16 between steps
+    (runtime/generate.py): teacher-forced over 160 steps on the TRAINED tiny
+    model, the logits must stay tightly correlated with the f32-state run —
+    pins the quality cost of the halved state HBM traffic."""
+    from tests.common import fixture
+    from rwkv_tpu.models import params as P
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    text = (b'"in the beginning the structure of the system was simple, '
+            b'and the people who used it understood it well. ' * 3)
+    toks = list(text)[:160]
+
+    def run(cast_heads):
+        st = fwd.init_state(cfg)
+        logits = None
+        for t in toks:
+            logits, st = fwd.forward_step(
+                prm, cfg, jnp.asarray([t], jnp.int32),
+                jax.tree.map(lambda s: s[None], st))
+            st = jax.tree.map(lambda s: s[0], st)
+            if cast_heads:
+                st = dict(st, heads=st["heads"].astype(jnp.bfloat16)
+                          .astype(jnp.float32))
+        return np.asarray(logits[0])
+
+    lf32 = run(False)
+    lbf16 = run(True)
+    c = np.corrcoef(lf32, lbf16)[0, 1]
+    assert c > 0.999, c
+    assert int(np.argmax(lf32)) == int(np.argmax(lbf16))
+
+
+def test_greedy_decode_state_bf16_smoke():
+    """The state_bf16 knob: runs, returns f32 state at the boundary, and the
+    first decoded token (a single step from a fresh state, where rounding
+    cannot have accumulated) matches the f32 path."""
+    cfg, params, state, toks = _setup("7.0")
+    out_f32, st_f32 = G.greedy_decode(params, cfg, toks, state, steps=4)
+    out_bf, st_bf = G.greedy_decode(params, cfg, toks, state, steps=4,
+                                    state_bf16=True)
+    assert st_bf["heads"].dtype == jnp.float32
+    assert out_bf.shape == out_f32.shape
+    np.testing.assert_array_equal(np.asarray(out_f32[:, 0]),
+                                  np.asarray(out_bf[:, 0]))
+
+
 def test_w8a8_quality_on_trained_weights():
     """Per-channel int8 weights + per-token int8 activations (the MXU-native
     turbo mode) must track dense logits on trained weights."""

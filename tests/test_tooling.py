@@ -201,6 +201,37 @@ def test_quantization_perplexity_deltas(tmp_path):
     assert results["Q5_1"] >= results["Q8_0"] - 0.01 * base, results
 
 
+def test_serving_mode_perplexity_deltas():
+    """The packed on-device serving modes (VERDICT r2 #1's quality criterion)
+    must hold perplexity within the band of the file format they correspond
+    to: int4/w4a8 in the Q4-class band, int5 in the Q5-class band, int8/w8a8
+    near-lossless — measured through ppl_sweep's serving-mode path."""
+    from rwkv_tpu.tools.ppl_sweep import sweep
+
+    src = fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    text = (
+        b"in the beginning the structure of the system was simple, and the "
+        b"people who used it understood the structure of the system well."
+    )
+    tokens = list(text)
+    rows = {r["format"]: r for r in sweep(
+        src, tokens, formats=("FP32", "int8", "w8a8", "int5", "int4", "w4a8"),
+        ignore_first_n=8)}
+    base = rows["FP32"]["perplexity"]
+
+    # same band shape as test_quantization_perplexity_deltas' file formats
+    # (bounds ~2-2.5x measured deltas); w4a8 adds a8 activation rounding on
+    # top of int4's weight error
+    assert abs(rows["int8"]["perplexity"] - base) < 0.02 * base, rows
+    assert abs(rows["w8a8"]["perplexity"] - base) < 0.03 * base, rows
+    assert abs(rows["int5"]["perplexity"] - base) < 0.05 * base, rows
+    assert abs(rows["int4"]["perplexity"] - base) < 0.20 * base, rows
+    assert abs(rows["w4a8"]["perplexity"] - base) < 0.25 * base, rows
+    # packed modes really shrink the footprint (int4 < int5 < int8 < dense)
+    assert rows["int4"]["size_gb"] < rows["int5"]["size_gb"] < rows["int8"]["size_gb"]
+    assert rows["int8"]["size_gb"] < rows["FP32"]["size_gb"]
+
+
 def test_generate_completions_cli():
     """App-level smoke test (reference python/generate_completions.py):
     drive the CLI end-to-end as a subprocess on the tiny model."""
