@@ -123,10 +123,18 @@ def serve_step(params, cfg, last_tok, state, counts, active,
                             temps, top_ps, presence, freq, bias, key, top_k)
 
 
-@partial(jax.jit, static_argnames=("cfg", "top_k", "steps"))
+def _cast_heads(state, dtype):
+    """Cast the (large) wkv heads state leaf, leaving the small f32
+    token-shift vectors (and v4's exp-max accumulators) untouched."""
+    if "heads" not in state:
+        return state
+    return dict(state, heads=state["heads"].astype(dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg", "top_k", "steps", "state_bf16"))
 def serve_window(params, cfg, last_tok, state, counts, active,
                  temps, top_ps, presence, freq, bias, key, step0, steps: int,
-                 top_k: int = 512):
+                 top_k: int = 512, state_bf16: bool = False):
     """`steps` lockstep decode+sample steps in ONE dispatch (lax.scan over
     the serve_step body). Returns (toks (steps, B), state, counts).
 
@@ -134,6 +142,11 @@ def serve_window(params, cfg, last_tok, state, counts, active,
     i uses fold_in(key, step0 + i) — the exact key the per-step path
     (Server._step_device) would use, so sampled streams (any temperature)
     are token-for-token identical to per-step serving.
+
+    state_bf16=True carries the wkv heads state in bf16 BETWEEN the window's
+    steps (f32 compute inside each step; the server's state contract stays
+    f32 at the window boundary) — the (L, B, H, S, S) state read+write is
+    the dominant HBM term at large slot counts (see runtime/generate.py).
 
     The host applies stop-token / max_new_tokens bookkeeping AFTER the
     window: a stream that stops mid-window keeps decoding to the window end
@@ -150,8 +163,12 @@ def serve_window(params, cfg, last_tok, state, counts, active,
 
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
         step0 + jnp.arange(steps, dtype=jnp.int32))
+    if state_bf16:
+        state = _cast_heads(state, jnp.bfloat16)
     (tok, state, counts), toks = jax.lax.scan(
         body, (last_tok, state, counts), keys)
+    if state_bf16:
+        state = _cast_heads(state, jnp.float32)
     return toks, state, counts
 
 
@@ -160,7 +177,8 @@ class Server:
 
     def __init__(self, ctx, max_streams: int = 8, seed: int = 0,
                  on_device: bool = True, mesh=None, top_k: int = 512,
-                 join_chunk: int = 64, join_block: int = 4):
+                 join_chunk: int = 64, join_block: int = 4,
+                 state_bf16: bool = False):
         """top_k: on-device sampling evaluates the nucleus inside the top-k
         logit window (exact whenever the top-p nucleus holds fewer than k
         tokens — true for any practical top_p; at top_p ~ 1.0 with a high
@@ -172,7 +190,13 @@ class Server:
         reference's chunked-prefill semantics, rwkv_eval.inc:158-221) — one
         XLA compile covers EVERY prompt length, and deferred joins
         (add(..., defer=True)) advance one block per step/step_window call,
-        bounding the stall other streams see to one block per window."""
+        bounding the stall other streams see to one block per window.
+
+        state_bf16: carry the wkv heads state in bf16 between the steps of
+        each step_window dispatch (f32 at every window boundary, so joins,
+        state export, and the per-step path are unaffected) — a large-batch
+        HBM-traffic lever; quality drift is pinned by
+        tests/test_forward_step.py's teacher-forced bf16-carry test."""
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.B = max_streams
@@ -217,6 +241,7 @@ class Server:
         self.top_k = top_k
         self.join_chunk = join_chunk
         self.join_block = join_block
+        self.state_bf16 = state_bf16
 
     # -- stream lifecycle ---------------------------------------------------
 
@@ -417,6 +442,7 @@ class Server:
             self._params, self.cfg, jnp.asarray(self._last_tok), self._state,
             self._counts, active, temps, top_ps, presence, freq, bias,
             self._key, step0, steps=steps, top_k=self.top_k,
+            state_bf16=self.state_bf16,
         )
         toks_np = np.asarray(toks)                   # (steps, B)
         out = {}

@@ -229,6 +229,33 @@ def test_step_window_matches_stepwise(ctx, temperature):
     assert srv.result(b2) == ref.result(b1)
 
 
+def test_step_window_state_bf16(ctx):
+    """Server(state_bf16=True) carries the wkv heads state in bf16 between a
+    window's steps (serve.py::serve_window): greedy streams on the trained
+    tiny model must match the f32 path over a short horizon (bf16 rounding
+    of a near-fresh state cannot flip the argmax — drift over long horizons
+    is pinned separately by test_forward_step.py's teacher-forced test), and
+    the server's state contract must stay f32 at the window boundary."""
+    import jax.numpy as jnp
+
+    cfg = StreamConfig(temperature=0.0, top_p=1.0, max_new_tokens=8,
+                       stop_token=None)
+    ref = Server(ctx, max_streams=2, seed=0)
+    a1 = ref.add(list(b'"in the'), cfg)
+    b1 = ref.add(list(b"Once"), cfg)
+    while ref.active_streams:
+        ref.step_window(4)
+
+    srv = Server(ctx, max_streams=2, seed=0, state_bf16=True)
+    a2 = srv.add(list(b'"in the'), cfg)
+    b2 = srv.add(list(b"Once"), cfg)
+    while srv.active_streams:
+        srv.step_window(4)
+    assert srv._state["heads"].dtype == jnp.float32
+    assert srv.result(a2) == ref.result(a1)
+    assert srv.result(b2) == ref.result(b1)
+
+
 def test_step_window_stop_token_truncates(ctx):
     """A stream stopping mid-window discards its surplus tokens; the slot is
     reusable at the window boundary."""
