@@ -26,6 +26,9 @@ run 900 python -u scratch/exp_i4.py w8a8head
 run 900 python -u scratch/exp_i4.py base 1p5 128
 run 900 env RWKV_EXP_SBF16=1 python -u scratch/exp_i4.py base 1p5 128
 run 900 env RWKV_EXP_SBF16=1 python -u scratch/exp_i4.py w4a8best 1p5 8
+# 2c. serving-path A/B of the same lever (Server(state_bf16=...), B=128)
+run 900 python -u scratch/serve_bf16.py 128 0
+run 900 python -u scratch/serve_bf16.py 128 1
 # 3. 7B point (VERDICT #3): best-variant decode + trace
 run 900 python -u scratch/exp_i4.py w4a8best 7b
 run 1200 python -u scratch/profile_dec.py int4 7b
