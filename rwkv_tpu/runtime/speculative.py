@@ -1,0 +1,208 @@
+"""Speculative decoding: a cheap draft model proposes K tokens, the target
+model verifies them in ONE sequence pass.
+
+Decode is weight-streaming-bound (docs/KERNELS.md): a single-token step and a
+K-token sequence pass stream the same weight bytes, so verifying K drafted
+tokens costs the target model one stream instead of K.  With a draft that is
+the same checkpoint quantized to int4 (self-speculation) or a genuinely
+smaller model, the emitted stream is EXACTLY the target's greedy output —
+quality of the big model at a fraction of its bandwidth cost.  The reference
+has no equivalent (its explicit per-token graph model cannot express it);
+this is a TPU-native serving capability layered on the same forward_seq /
+forward_step primitives as everything else.
+
+Per round (all under one jit, scanned over rounds so the host dispatch cost
+is amortized the same way Server.step_window amortizes it):
+
+  1. draft replays the pending tokens (last round's emissions) in one
+     sequence pass -> logits for the first draft token, draft state advanced
+     through pending;
+  2. draft greedy-steps K-1 more tokens (throwaway state — rejected tokens
+     must not leak into the carried state);
+  3. target advances through the same pending tokens in one sequence pass;
+     its last-position logits verify draft token 1;
+  4. target runs ONE all-logits sequence pass over the K draft tokens from
+     the advanced state: position i verifies draft token i+2, the last
+     position supplies the bonus token.
+
+  Accepted prefix d_1..d_m (longest match of drafts against the target's
+  own greedy choices) plus the target's bonus token become the next round's
+  pending buffer, so each round emits between 1 and K+1 tokens and both
+  models' carried states are only ever advanced through VERIFIED tokens.
+
+Cost per round: target streams its weights exactly twice (advance + verify,
+independent of how many tokens were emitted); draft streams ~K times.  The
+scheme pays off whenever draft_bytes * K < target_bytes * (E[accepted] - 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rwkv_tpu.models import forward as fwd
+from rwkv_tpu.models.params import ModelConfig
+
+
+def _swap(tree):
+    return jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), tree)
+
+
+@partial(jax.jit, static_argnames=("draft_cfg", "target_cfg", "k", "rounds"))
+def spec_rounds(
+    draft_params,
+    draft_cfg: ModelConfig,
+    target_params,
+    target_cfg: ModelConfig,
+    tokens0,
+    draft_state,
+    target_state,
+    k: int = 4,
+    rounds: int = 8,
+):
+    """Run `rounds` speculative rounds for a batch of streams on device.
+
+    tokens0: (B,) int32 next input token per stream (same contract as
+    greedy_decode: states have consumed everything BEFORE tokens0).
+    draft_state / target_state: per-model state pytrees with leading B axis
+    (shapes may differ — the models only need to share n_vocab).
+
+    Returns (tokens (B, rounds, k+1) int32, counts (B, rounds) int32, carry)
+    where tokens[b, r, :counts[b, r]] are the tokens emitted in round r and
+    `carry` continues generation via spec_rounds_from / finalizes via
+    finalize_states. The concatenated per-stream token stream equals the
+    target model's greedy decode (forward_seq numerics)."""
+    if draft_cfg.n_vocab != target_cfg.n_vocab:
+        raise ValueError(
+            f"draft and target must share n_vocab, got "
+            f"{draft_cfg.n_vocab} vs {target_cfg.n_vocab}"
+        )
+    B = tokens0.shape[0]
+    pend = jnp.zeros((B, k + 1), jnp.int32).at[:, 0].set(tokens0)
+    plen = jnp.ones((B,), jnp.int32)
+    carry = (pend, plen, draft_state, target_state)
+    return _spec_scan(draft_params, draft_cfg, target_params, target_cfg,
+                      carry, k, rounds)
+
+
+@partial(jax.jit, static_argnames=("draft_cfg", "target_cfg", "k", "rounds"))
+def spec_rounds_from(
+    draft_params, draft_cfg: ModelConfig, target_params,
+    target_cfg: ModelConfig, carry, k: int = 4, rounds: int = 8,
+):
+    """Continue from a carry returned by spec_rounds / spec_rounds_from."""
+    return _spec_scan(draft_params, draft_cfg, target_params, target_cfg,
+                      carry, k, rounds)
+
+
+def _spec_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
+               k, rounds):
+    kk = jnp.arange(k + 1)[None, :]
+
+    def one_round(carry, _):
+        pend, plen, dst, tst = carry
+
+        # 1. draft: replay pending, first proposal from the last valid logits
+        dlog, dst2 = fwd.forward_seq(draft_params, draft_cfg, pend, dst, plen)
+        d1 = jnp.argmax(dlog, axis=-1).astype(jnp.int32)
+
+        # 2. draft: K-1 greedy steps; the stepped state is throwaway (its
+        #    tokens are unverified), only dst2 (after pending) is carried
+        if k > 1:
+            def dstep(c, _):
+                tok, st = c
+                lg, st = fwd.forward_step(draft_params, draft_cfg, tok, st,
+                                          compute_logits=True, layer_major=True)
+                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                return (nxt, st), nxt
+
+            (_, _), rest = jax.lax.scan(dstep, (d1, _swap(dst2)), None,
+                                        length=k - 1)
+            drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)  # (B, k)
+        else:
+            drafts = d1[:, None]
+
+        # 3. target: advance through pending; last-position logits check d_1
+        tlog, tst2 = fwd.forward_seq(target_params, target_cfg, pend, tst, plen)
+
+        # 4. target: one all-logits pass over the drafts checks d_2..d_k and
+        #    supplies the bonus token; its end state is throwaway
+        vlog, _ = fwd.forward_seq(
+            target_params, target_cfg, drafts, tst2,
+            jnp.full_like(plen, k), all_logits=True,
+        )
+        tgt = jnp.concatenate(
+            [jnp.argmax(tlog, axis=-1)[:, None], jnp.argmax(vlog, axis=-1)],
+            axis=1,
+        ).astype(jnp.int32)                                          # (B, k+1)
+
+        accept = (drafts == tgt[:, :k]).astype(jnp.int32)
+        m = jnp.cumprod(accept, axis=1).sum(axis=1)                  # (B,)
+        bonus = jnp.take_along_axis(tgt, m[:, None], axis=1)
+        d_pad = jnp.pad(drafts, ((0, 0), (0, 1)))
+        out = jnp.where(kk < m[:, None], d_pad,
+                        jnp.where(kk == m[:, None], bonus, 0)).astype(jnp.int32)
+        cnt = (m + 1).astype(jnp.int32)
+        return (out, cnt, dst2, tst2), (out, cnt)
+
+    carry, (toks, cnts) = jax.lax.scan(one_round, carry, None, length=rounds)
+    # (rounds, B, ...) -> (B, rounds, ...)
+    return jnp.swapaxes(toks, 0, 1), cnts.T, carry
+
+
+@partial(jax.jit, static_argnames=("draft_cfg", "target_cfg"))
+def finalize_states(draft_params, draft_cfg: ModelConfig, target_params,
+                    target_cfg: ModelConfig, carry):
+    """Fold a spec carry into (draft_state, target_state, last_token) with
+    the greedy_decode state contract: states have consumed every emitted
+    token EXCEPT last_token (the next input)."""
+    pend, plen, dst, tst = carry
+    consumed = plen - 1                      # leave the newest token pending
+    _, dst = fwd.forward_seq(draft_params, draft_cfg, pend, dst, consumed,
+                             compute_logits=False)
+    _, tst = fwd.forward_seq(target_params, target_cfg, pend, tst, consumed,
+                             compute_logits=False)
+    last = jnp.take_along_axis(pend, (plen - 1)[:, None], axis=1)[:, 0]
+    return dst, tst, last
+
+
+def speculative_generate(
+    draft_params, draft_cfg: ModelConfig, target_params,
+    target_cfg: ModelConfig, tokens0, draft_state, target_state,
+    steps: int, k: int = 4, rounds_per_dispatch: int = 8,
+):
+    """Host loop: dispatch speculative rounds until every stream has emitted
+    at least `steps` tokens. Returns (tokens (B, steps) int32 ndarray,
+    accept_rate float, carry). The token stream equals the target model's
+    greedy decode; accept_rate is mean accepted drafts / k."""
+    import numpy as np
+
+    B = int(tokens0.shape[0])
+    done = np.zeros(B, np.int64)
+    chunks = [[] for _ in range(B)]
+    carry = None
+    n_rounds = 0
+    acc_sum = 0.0
+    while done.min() < steps:
+        if carry is None:
+            toks, cnts, carry = spec_rounds(
+                draft_params, draft_cfg, target_params, target_cfg,
+                tokens0, draft_state, target_state, k=k,
+                rounds=rounds_per_dispatch)
+        else:
+            toks, cnts, carry = spec_rounds_from(
+                draft_params, draft_cfg, target_params, target_cfg,
+                carry, k=k, rounds=rounds_per_dispatch)
+        toks = np.asarray(toks)
+        cnts = np.asarray(cnts)
+        for b in range(B):
+            for r in range(cnts.shape[1]):
+                chunks[b].append(toks[b, r, : cnts[b, r]])
+        done += cnts.sum(axis=1)
+        n_rounds += cnts.shape[1]
+        acc_sum += float(cnts.mean(axis=0).sum())
+    out = np.stack([np.concatenate(c)[:steps] for c in chunks])
+    accept_rate = (acc_sum / n_rounds - 1.0) / k if k else 0.0
+    return out, accept_rate, carry

@@ -33,6 +33,10 @@ run 900 python -u scratch/serve_bf16.py 128 1
 run 900 python -u scratch/exp_i4.py w4a8best 7b
 run 1200 python -u scratch/profile_dec.py int4 7b
 run 300 python -u scratch/trace_top.py scratch/traces/int4_7b_b8 25
+# 3b. speculative decoding (new capability): single-stream + B=8 points
+run 900 python -u scratch/spec_bench.py 1 7 bf16
+run 900 python -u scratch/spec_bench.py 1 7 int8
+run 900 python -u scratch/spec_bench.py 8 7 bf16
 # 4. int5 coverage points
 run 900 python -u scratch/exp_i4.py int5
 run 900 python -u scratch/exp_i4.py int5m
