@@ -152,6 +152,129 @@ def _spec_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
     return jnp.swapaxes(toks, 0, 1), cnts.T, carry
 
 
+@partial(jax.jit, static_argnames=("draft_cfg", "target_cfg", "k", "rounds",
+                                   "top_k"))
+def spec_rounds_sampled(
+    draft_params,
+    draft_cfg: ModelConfig,
+    target_params,
+    target_cfg: ModelConfig,
+    tokens0,
+    draft_state,
+    target_state,
+    key,
+    k: int = 4,
+    rounds: int = 8,
+    temperature: float = 1.0,
+    top_p: float = 0.8,
+    top_k: int = 512,
+):
+    """Sampled speculative rounds (rejection sampling): the emitted stream is
+    distributed EXACTLY as the target's sampled_decode distribution — the
+    top-k-windowed nucleus transform with probs ** (1/temperature), the
+    reference sampling semantics — for ANY draft.
+
+    The draft proposes from its own plain temperature softmax (full support,
+    no sort needed, so q at an arbitrary token is one gather+logsumexp).
+    Draft token i is accepted with prob min(1, p(d_i)/q(d_i)); on the first
+    rejection the token is resampled from the normalized residual
+    max(p - q, 0), whose support lies inside the target's top-k window (p is
+    zero outside it), and padding q with a zeros row at position k makes the
+    full-acceptance bonus draw (sample from p itself) the same gather.
+
+    Returns (tokens (B, rounds, k+1), counts (B, rounds), carry) like
+    spec_rounds."""
+    if draft_cfg.n_vocab != target_cfg.n_vocab:
+        raise ValueError(
+            f"draft and target must share n_vocab, got "
+            f"{draft_cfg.n_vocab} vs {target_cfg.n_vocab}"
+        )
+    B = tokens0.shape[0]
+    pend = jnp.zeros((B, k + 1), jnp.int32).at[:, 0].set(tokens0)
+    plen = jnp.ones((B,), jnp.int32)
+    carry = (pend, plen, draft_state, target_state)
+
+    kw = min(top_k, target_cfg.n_vocab)
+    kk = jnp.arange(k + 1)[None, :]
+    temp = jnp.maximum(jnp.float32(temperature), 1e-6)
+
+    def one_round(carry, rkey):
+        pend, plen, dst, tst = carry
+        kd, ka, kl = jax.random.split(rkey, 3)
+
+        # draft: replay pending, then sample k proposals from softmax(l/temp)
+        dlog0, dst2 = fwd.forward_seq(draft_params, draft_cfg, pend, dst, plen)
+        d1 = jax.random.categorical(jax.random.fold_in(kd, 0),
+                                    dlog0 / temp, axis=-1).astype(jnp.int32)
+        if k > 1:
+            def dstep(c, i):
+                tok, st = c
+                lg, st = fwd.forward_step(draft_params, draft_cfg, tok, st,
+                                          compute_logits=True, layer_major=True)
+                nxt = jax.random.categorical(jax.random.fold_in(kd, i),
+                                             lg / temp, axis=-1).astype(jnp.int32)
+                return (nxt, st), (lg, nxt)
+
+            (_, _), (dlogs, rest) = jax.lax.scan(
+                dstep, (d1, _swap(dst2)), jnp.arange(1, k))
+            drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)
+            q_logits = jnp.concatenate([dlog0[None], dlogs], axis=0)
+        else:
+            drafts = d1[:, None]
+            q_logits = dlog0[None]
+        q_logits = jnp.swapaxes(q_logits, 0, 1)                  # (B, k, V)
+
+        # target: advance through pending + one verify pass over the drafts
+        tlog, tst2 = fwd.forward_seq(target_params, target_cfg, pend, tst, plen)
+        vlog, _ = fwd.forward_seq(target_params, target_cfg, drafts, tst2,
+                                  jnp.full_like(plen, k), all_logits=True)
+        t_logits = jnp.concatenate([tlog[:, None], vlog], axis=1)  # (B,k+1,V)
+
+        # target dist: EXACT sampled_decode transform on the top-k window
+        vals, idx = jax.lax.top_k(t_logits, kw)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p
+        p_win = jax.nn.softmax(jnp.where(keep, vals / temp, -jnp.inf), axis=-1)
+
+        # draft dist at the drafted tokens and at the target's window indices
+        q_lse = jax.scipy.special.logsumexp(q_logits / temp, axis=-1)
+        q_at_d = jnp.exp(
+            jnp.take_along_axis(q_logits, drafts[..., None], axis=-1)[..., 0]
+            / temp - q_lse)                                       # (B, k)
+        p_at_d = jnp.where(idx[:, :k, :] == drafts[:, :, None],
+                           p_win[:, :k, :], 0.0).sum(axis=-1)     # (B, k)
+
+        # accept d_i iff u < p/q  (as u*q < p: no division, q > 0 by sampling)
+        u = jax.random.uniform(ka, p_at_d.shape)
+        accept = (u * q_at_d < p_at_d).astype(jnp.int32)
+        m = jnp.cumprod(accept, axis=1).sum(axis=1)
+
+        # residual (p - q)+ at the reject position; zeros-padded q makes the
+        # full-accept bonus (sample from p at position k) the same formula
+        q_at_idx = jnp.exp(
+            jnp.take_along_axis(q_logits, idx[:, :k, :], axis=-1)
+            / temp - q_lse[..., None])                            # (B, k, kw)
+        q_at_idx = jnp.concatenate(
+            [q_at_idx, jnp.zeros_like(q_at_idx[:, :1])], axis=1)  # (B,k+1,kw)
+        r = jnp.maximum(p_win - q_at_idx, 0.0) + 1e-30
+        r_m = jnp.take_along_axis(r, m[:, None, None], axis=1)[:, 0]
+        idx_m = jnp.take_along_axis(idx, m[:, None, None], axis=1)[:, 0]
+        choice = jax.random.categorical(kl, jnp.log(r_m), axis=-1)
+        last = jnp.take_along_axis(idx_m, choice[:, None], axis=1)[:, 0]
+
+        d_pad = jnp.pad(drafts, ((0, 0), (0, 1)))
+        out = jnp.where(kk < m[:, None], d_pad,
+                        jnp.where(kk == m[:, None], last[:, None].astype(jnp.int32),
+                                  0)).astype(jnp.int32)
+        cnt = (m + 1).astype(jnp.int32)
+        return (out, cnt, dst2, tst2), (out, cnt)
+
+    keys = jax.random.split(key, rounds)
+    carry, (toks, cnts) = jax.lax.scan(one_round, carry, keys)
+    return jnp.swapaxes(toks, 0, 1), cnts.T, carry
+
+
 @partial(jax.jit, static_argnames=("draft_cfg", "target_cfg"))
 def finalize_states(draft_params, draft_cfg: ModelConfig, target_params,
                     target_cfg: ModelConfig, carry):

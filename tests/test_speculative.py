@@ -93,6 +93,72 @@ def test_finalize_states_continue_greedy():
     assert np.array_equal(np.asarray(cont), ref[:, n:])
 
 
+def test_sampled_greedy_limit_matches_greedy():
+    """temperature -> 0 collapses sampled speculation to the greedy stream,
+    for an int8 draft (accept/reject both exercised on near-ties)."""
+    cfg, prm, state = _tiny(2)
+    draft = L.quantize_params_device(prm)
+    tok0 = jnp.asarray([34, 66], jnp.int32)
+    toks, cnts, _ = S.spec_rounds_sampled(
+        draft, cfg, prm, cfg, tok0, state, G.batched_init_state(cfg, 2),
+        jax.random.PRNGKey(7), k=3, rounds=6, temperature=1e-6, top_p=0.9)
+    toks, cnts = np.asarray(toks), np.asarray(cnts)
+    greedy, _ = G.greedy_decode(prm, cfg, tok0, G.batched_init_state(cfg, 2),
+                                steps=24)
+    greedy = np.asarray(greedy)
+    for b in range(2):
+        flat = np.concatenate([toks[b, r, : cnts[b, r]] for r in range(6)])
+        n = min(len(flat), 24)
+        assert np.array_equal(flat[:n], greedy[b, :n])
+
+
+def test_sampled_distribution_fidelity():
+    """Chi-square: the FIRST token emitted by sampled speculation (int8
+    draft) must be distributed exactly as the target's sampled_decode
+    transform — the rejection-sampling correctness claim, measured."""
+    cfg, prm, state = _tiny(256)
+    draft = L.quantize_params_device(prm)
+    B, calls, k = 256, 24, 2
+    temperature, top_p = 1.2, 0.9
+    tok0 = jnp.full((B,), 34, jnp.int32)
+    dstate = G.batched_init_state(cfg, B)
+
+    draws = []
+    for i in range(calls):
+        toks, cnts, _ = S.spec_rounds_sampled(
+            draft, cfg, prm, cfg, tok0, dstate,
+            G.batched_init_state(cfg, B), jax.random.PRNGKey(5000 + i),
+            k=k, rounds=1, temperature=temperature, top_p=top_p)
+        draws.append(np.asarray(toks)[:, 0, 0])
+    V = cfg.n_vocab
+    counts = np.bincount(np.concatenate(draws), minlength=V).astype(np.float64)
+    N = counts.sum()
+
+    # exact target distribution: sampled_decode's top-k-window nucleus
+    from rwkv_tpu.models import forward as fwd
+    logits, _ = fwd.forward(prm, cfg, jnp.asarray([34], jnp.int32),
+                            jax.tree.map(lambda x: x[0], state), jnp.int32(1))
+    lg = np.asarray(logits, np.float64).ravel()
+    order = np.argsort(-lg)
+    vals = lg[order]
+    probs = np.exp(vals - vals.max())
+    probs /= probs.sum()
+    keep = (np.cumsum(probs) - probs) < top_p
+    w = np.where(keep, np.exp(vals / temperature - (vals / temperature).max()), 0.0)
+    host_p = np.zeros(V)
+    host_p[order] = w / w.sum()
+
+    exp = host_p * N
+    big = exp >= 5
+    stat = float((((counts[big] - exp[big]) ** 2) / exp[big]).sum())
+    tail_exp, tail_obs = exp[~big].sum(), counts[~big].sum()
+    dof = int(big.sum()) - 1
+    if tail_exp >= 5:
+        stat += (tail_obs - tail_exp) ** 2 / tail_exp
+        dof += 1
+    assert stat < dof + 6 * np.sqrt(2 * dof) + 10, (stat, dof)
+
+
 def test_vocab_mismatch_raises():
     cfg, prm, state = _tiny(1)
     bad = synth.make_config("7.0", n_vocab=128, n_embed=64, n_layer=1)
