@@ -193,7 +193,25 @@ def spec_rounds_sampled(
     pend = jnp.zeros((B, k + 1), jnp.int32).at[:, 0].set(tokens0)
     plen = jnp.ones((B,), jnp.int32)
     carry = (pend, plen, draft_state, target_state)
+    return _sampled_scan(draft_params, draft_cfg, target_params, target_cfg,
+                         carry, key, k, rounds, temperature, top_p, top_k)
 
+
+@partial(jax.jit, static_argnames=("draft_cfg", "target_cfg", "k", "rounds",
+                                   "top_k"))
+def spec_rounds_sampled_from(
+    draft_params, draft_cfg: ModelConfig, target_params,
+    target_cfg: ModelConfig, carry, key, k: int = 4, rounds: int = 8,
+    temperature: float = 1.0, top_p: float = 0.8, top_k: int = 512,
+):
+    """Continue sampled speculation from a carry returned by
+    spec_rounds_sampled / spec_rounds_sampled_from."""
+    return _sampled_scan(draft_params, draft_cfg, target_params, target_cfg,
+                         carry, key, k, rounds, temperature, top_p, top_k)
+
+
+def _sampled_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
+                  key, k, rounds, temperature, top_p, top_k):
     kw = min(top_k, target_cfg.n_vocab)
     kk = jnp.arange(k + 1)[None, :]
     temp = jnp.maximum(jnp.float32(temperature), 1e-6)
@@ -295,29 +313,51 @@ def speculative_generate(
     draft_params, draft_cfg: ModelConfig, target_params,
     target_cfg: ModelConfig, tokens0, draft_state, target_state,
     steps: int, k: int = 4, rounds_per_dispatch: int = 8,
+    temperature: float | None = None, top_p: float = 0.8, top_k: int = 512,
+    key=None,
 ):
     """Host loop: dispatch speculative rounds until every stream has emitted
     at least `steps` tokens. Returns (tokens (B, steps) int32 ndarray,
-    accept_rate float, carry). The token stream equals the target model's
-    greedy decode; accept_rate is mean accepted drafts / k."""
+    accept_rate float, carry). With temperature=None the token stream equals
+    the target model's greedy decode; otherwise it samples from the target's
+    exact sampled_decode distribution (key required). accept_rate is mean
+    accepted drafts / k."""
     import numpy as np
 
+    if temperature is not None and key is None:
+        raise ValueError("sampled speculative_generate needs a PRNG `key`")
     B = int(tokens0.shape[0])
     done = np.zeros(B, np.int64)
     chunks = [[] for _ in range(B)]
     carry = None
     n_rounds = 0
     acc_sum = 0.0
+    dispatch = 0
     while done.min() < steps:
-        if carry is None:
-            toks, cnts, carry = spec_rounds(
-                draft_params, draft_cfg, target_params, target_cfg,
-                tokens0, draft_state, target_state, k=k,
-                rounds=rounds_per_dispatch)
+        if temperature is None:
+            if carry is None:
+                toks, cnts, carry = spec_rounds(
+                    draft_params, draft_cfg, target_params, target_cfg,
+                    tokens0, draft_state, target_state, k=k,
+                    rounds=rounds_per_dispatch)
+            else:
+                toks, cnts, carry = spec_rounds_from(
+                    draft_params, draft_cfg, target_params, target_cfg,
+                    carry, k=k, rounds=rounds_per_dispatch)
         else:
-            toks, cnts, carry = spec_rounds_from(
-                draft_params, draft_cfg, target_params, target_cfg,
-                carry, k=k, rounds=rounds_per_dispatch)
+            dkey = jax.random.fold_in(key, dispatch)
+            if carry is None:
+                toks, cnts, carry = spec_rounds_sampled(
+                    draft_params, draft_cfg, target_params, target_cfg,
+                    tokens0, draft_state, target_state, dkey, k=k,
+                    rounds=rounds_per_dispatch, temperature=temperature,
+                    top_p=top_p, top_k=top_k)
+            else:
+                toks, cnts, carry = spec_rounds_sampled_from(
+                    draft_params, draft_cfg, target_params, target_cfg,
+                    carry, dkey, k=k, rounds=rounds_per_dispatch,
+                    temperature=temperature, top_p=top_p, top_k=top_k)
+        dispatch += 1
         toks = np.asarray(toks)
         cnts = np.asarray(cnts)
         for b in range(B):

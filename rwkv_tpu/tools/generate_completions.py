@@ -19,6 +19,56 @@ A TPU-native inference engine for RWKV language models, supporting FP32, FP16 an
 quantized INT4/INT5/INT8 model files, built on JAX, XLA and Pallas."""
 
 
+def _spec_generate(ctx, args, prompt_tokens, decode):
+    """Speculative decoding path: all `count` generations run as one batch of
+    streams, each emitting the target's exact greedy stream (temperature 0)
+    or exact sampled distribution (runtime/speculative.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops import linear as L
+    from rwkv_tpu.runtime import generate as G
+    from rwkv_tpu.runtime import speculative as S
+
+    tcfg, tprm = ctx.cfg, ctx._params
+    modes = {"int8": "block", "int4": "int4", "int5": "int5",
+             "w8a8": "w8a8", "w4a8": "w4a8"}
+    if args.draft in modes:
+        dcfg = tcfg
+        dprm = L.quantize_params_device(tprm, mode=modes[args.draft])
+        label = f"self-speculation/{args.draft}"
+    else:
+        dcfg, dprm = P.load_params(args.draft, parity=False)
+        dprm = jax.tree.map(jnp.asarray, dprm)
+        label = args.draft
+
+    B = args.count
+    tok0 = jnp.full((B,), prompt_tokens[-1], jnp.int32)
+    tst = G.batched_init_state(tcfg, B)
+    dst = G.batched_init_state(dcfg, B)
+    if len(prompt_tokens) > 1:
+        pre = jnp.asarray([prompt_tokens[:-1]] * B, jnp.int32)
+        lens = jnp.full((B,), pre.shape[1], jnp.int32)
+        _, tst = G.prefill(tprm, tcfg, pre, tst, lens)
+        _, dst = G.prefill(dprm, dcfg, pre, dst, lens)
+
+    temp = None if args.temperature == 0 else args.temperature
+    start = time.time()
+    out, accept, _ = S.speculative_generate(
+        dprm, dcfg, tprm, tcfg, tok0, dst, tst, steps=args.tokens,
+        k=args.spec_k, temperature=temp, top_p=args.top_p,
+        key=jax.random.PRNGKey(0))
+    dt = time.time() - start
+    for g in range(B):
+        print(f"\n--- Generation {g} (speculative, draft={label}) ---\n")
+        print(args.prompt, end="[")
+        print(decode(out[g].tolist()), end="]\n")
+    print(f"\nTook {dt:.3f} sec for {B}x{args.tokens} tokens "
+          f"({1000 * dt / (B * args.tokens):.1f} ms per token effective); "
+          f"draft accept rate {accept:.2f}")
+
+
 def main():
     p = argparse.ArgumentParser(description="Generate completions from an RWKV model")
     p.add_argument("model_path")
@@ -28,6 +78,12 @@ def main():
     p.add_argument("--tokens", type=int, default=100)
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--top-p", type=float, default=0.5)
+    p.add_argument("--draft", default=None,
+                   help="speculative decoding: int8|int4|int5|w8a8|w4a8 "
+                        "(self-speculation with the same weights quantized) "
+                        "or a path to a smaller draft model file")
+    p.add_argument("--spec-k", type=int, default=5,
+                   help="draft tokens proposed per speculative round")
     args = p.parse_args()
 
     print(f"System info: {system_info()}")
@@ -36,6 +92,10 @@ def main():
 
     prompt_tokens = encode(args.prompt)
     print(f"{len(prompt_tokens)} tokens in prompt")
+
+    if args.draft:
+        _spec_generate(ctx, args, prompt_tokens, decode)
+        return
     init_logits, init_state = ctx.eval_sequence_in_chunks(prompt_tokens, chunk_size=16)
 
     for generation in range(args.count):

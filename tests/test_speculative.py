@@ -159,6 +159,22 @@ def test_sampled_distribution_fidelity():
     assert stat < dof + 6 * np.sqrt(2 * dof) + 10, (stat, dof)
 
 
+def test_generate_completions_draft_cli(capsys, monkeypatch):
+    """The --draft CLI surface: batched self-speculative generation end to
+    end (greedy: both generations identical and English-ish)."""
+    import sys as _sys
+
+    from rwkv_tpu.tools import generate_completions as GC
+
+    monkeypatch.setattr(_sys, "argv", [
+        "generate_completions", fixture("tiny-rwkv-5v2-730K-FP32.bin"),
+        "--prompt", '"in the beginning', "--count", "2", "--tokens", "12",
+        "--temperature", "0.0", "--draft", "int8", "--spec-k", "3"])
+    GC.main()
+    out = capsys.readouterr().out
+    assert "draft accept rate" in out and "Generation 1" in out
+
+
 def test_vocab_mismatch_raises():
     cfg, prm, state = _tiny(1)
     bad = synth.make_config("7.0", n_vocab=128, n_embed=64, n_layer=1)
