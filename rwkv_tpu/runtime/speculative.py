@@ -118,8 +118,11 @@ def _spec_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
                 nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 return (nxt, st), nxt
 
+            # unrolled like greedy_decode's step window: XLA pipelines the
+            # draft's weight streaming across steps (rolled scans of
+            # dependent kernel calls serialize — docs/KERNELS.md)
             (_, _), rest = jax.lax.scan(dstep, (d1, _swap(dst2)), None,
-                                        length=k - 1)
+                                        length=k - 1, unroll=min(8, k - 1))
             drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)  # (B, k)
         else:
             drafts = d1[:, None]
@@ -149,6 +152,111 @@ def _spec_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
 
     carry, (toks, cnts) = jax.lax.scan(one_round, carry, None, length=rounds)
     # (rounds, B, ...) -> (B, rounds, ...)
+    return jnp.swapaxes(toks, 0, 1), cnts.T, carry
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "rounds", "ngram", "window"))
+def spec_rounds_lookup(
+    params,
+    cfg: ModelConfig,
+    tokens0,
+    state,
+    history,
+    hist_len,
+    k: int = 4,
+    rounds: int = 8,
+    ngram: int = 3,
+    window: int = 512,
+):
+    """Draft-FREE speculation (prompt lookup): propose the K tokens that
+    followed the most recent occurrence of the current n-gram in a ring
+    buffer of the stream's own context, verify with the same two target
+    passes as spec_rounds. Zero draft cost — a round is exactly two target
+    weight streams for 1..K+1 emitted tokens, so repetitive continuations
+    (code, structured text, chat templates) decode up to (K+1)/2 x faster
+    while still emitting the target's EXACT greedy stream (a bad proposal
+    only shrinks the round, never changes a token).
+
+    history: (B, W0) int32 recent context per stream (W0 <= window), e.g.
+    the prompt; hist_len: (B,) valid counts. tokens0/state as spec_rounds.
+
+    Returns (tokens (B, rounds, k+1), counts (B, rounds), carry) — continue
+    with spec_rounds_lookup_from."""
+    B, w0 = history.shape
+    if w0 >= window:
+        raise ValueError(
+            f"history must be narrower than window ({w0} >= {window}); "
+            f"pass the last window-1 tokens")
+    buf = jnp.zeros((B, window), jnp.int32)
+    buf = buf.at[:, :w0].set(history.astype(jnp.int32))
+    buf = jnp.where(jnp.arange(window)[None, :] < hist_len[:, None], buf, 0)
+    buf = buf.at[jnp.arange(B), hist_len].set(tokens0)
+    wpos = (hist_len + 1).astype(jnp.int32)
+    nvalid = wpos
+    pend = jnp.zeros((B, k + 1), jnp.int32).at[:, 0].set(tokens0)
+    plen = jnp.ones((B,), jnp.int32)
+    carry = (pend, plen, state, buf, wpos % window, jnp.minimum(nvalid, window))
+    return _lookup_scan(params, cfg, carry, k, rounds, ngram, window)
+
+
+@partial(jax.jit, static_argnames=("cfg", "k", "rounds", "ngram", "window"))
+def spec_rounds_lookup_from(params, cfg: ModelConfig, carry, k: int = 4,
+                            rounds: int = 8, ngram: int = 3,
+                            window: int = 512):
+    """Continue from a carry returned by spec_rounds_lookup(_from)."""
+    return _lookup_scan(params, cfg, carry, k, rounds, ngram, window)
+
+
+def _lookup_scan(params, cfg, carry, k, rounds, ngram, window):
+    kk = jnp.arange(k + 1)[None, :]
+    W = window
+    B = carry[0].shape[0]
+    brow = jnp.arange(B)[:, None]
+
+    def one_round(carry, _):
+        pend, plen, st, buf, wpos, nvalid = carry
+
+        # 1. propose from the ring buffer: best (score, recency) n-gram match
+        suf_idx = (wpos[:, None] - ngram + jnp.arange(ngram)[None, :]) % W
+        suffix = jnp.take_along_axis(buf, suf_idx, axis=1)        # (B, ngram)
+        score = jnp.zeros((B, W), jnp.int32)
+        for j in range(ngram):
+            # roll(buf, s)[p] == buf[(p - s) % W]
+            score = score + (jnp.roll(buf, ngram - 1 - j, axis=1)
+                             == suffix[:, j:j + 1]).astype(jnp.int32)
+        pos = jnp.arange(W)[None, :]
+        recency = (pos - wpos[:, None]) % W        # most recent -> largest
+        valid = (pos < nvalid[:, None]) & (pos != (wpos[:, None] - 1) % W)
+        rank = jnp.where(valid, score * W + recency, -1)
+        p_best = jnp.argmax(rank, axis=1).astype(jnp.int32)        # (B,)
+        d_idx = (p_best[:, None] + 1 + jnp.arange(k)[None, :]) % W
+        drafts = jnp.take_along_axis(buf, d_idx, axis=1)           # (B, k)
+
+        # 2-3. same two target passes as spec_rounds
+        tlog, st2 = fwd.forward_seq(params, cfg, pend, st, plen)
+        vlog, _ = fwd.forward_seq(params, cfg, drafts, st2,
+                                  jnp.full_like(plen, k), all_logits=True)
+        tgt = jnp.concatenate(
+            [jnp.argmax(tlog, axis=-1)[:, None], jnp.argmax(vlog, axis=-1)],
+            axis=1,
+        ).astype(jnp.int32)
+        accept = (drafts == tgt[:, :k]).astype(jnp.int32)
+        m = jnp.cumprod(accept, axis=1).sum(axis=1)
+        bonus = jnp.take_along_axis(tgt, m[:, None], axis=1)
+        d_pad = jnp.pad(drafts, ((0, 0), (0, 1)))
+        out = jnp.where(kk < m[:, None], d_pad,
+                        jnp.where(kk == m[:, None], bonus, 0)).astype(jnp.int32)
+        cnt = (m + 1).astype(jnp.int32)
+
+        # 4. append the emissions to the ring buffer
+        w_idx = (wpos[:, None] + jnp.arange(k + 1)[None, :]) % W
+        old = jnp.take_along_axis(buf, w_idx, axis=1)
+        buf = buf.at[brow, w_idx].set(jnp.where(kk < cnt[:, None], out, old))
+        wpos = (wpos + cnt) % W
+        nvalid = jnp.minimum(nvalid + cnt, W)
+        return (out, cnt, st2, buf, wpos, nvalid), (out, cnt)
+
+    carry, (toks, cnts) = jax.lax.scan(one_round, carry, None, length=rounds)
     return jnp.swapaxes(toks, 0, 1), cnts.T, carry
 
 
@@ -234,7 +342,8 @@ def _sampled_scan(draft_params, draft_cfg, target_params, target_cfg, carry,
                 return (nxt, st), (lg, nxt)
 
             (_, _), (dlogs, rest) = jax.lax.scan(
-                dstep, (d1, _swap(dst2)), jnp.arange(1, k))
+                dstep, (d1, _swap(dst2)), jnp.arange(1, k),
+                unroll=min(8, k - 1))
             drafts = jnp.concatenate([d1[:, None], rest.T], axis=1)
             q_logits = jnp.concatenate([dlog0[None], dlogs], axis=0)
         else:
@@ -358,6 +467,44 @@ def speculative_generate(
                     carry, dkey, k=k, rounds=rounds_per_dispatch,
                     temperature=temperature, top_p=top_p, top_k=top_k)
         dispatch += 1
+        toks = np.asarray(toks)
+        cnts = np.asarray(cnts)
+        for b in range(B):
+            for r in range(cnts.shape[1]):
+                chunks[b].append(toks[b, r, : cnts[b, r]])
+        done += cnts.sum(axis=1)
+        n_rounds += cnts.shape[1]
+        acc_sum += float(cnts.mean(axis=0).sum())
+    out = np.stack([np.concatenate(c)[:steps] for c in chunks])
+    accept_rate = (acc_sum / n_rounds - 1.0) / k if k else 0.0
+    return out, accept_rate, carry
+
+
+def lookup_generate(
+    params, cfg: ModelConfig, tokens0, state, history, hist_len, steps: int,
+    k: int = 4, rounds_per_dispatch: int = 8, ngram: int = 3,
+    window: int = 512,
+):
+    """Host loop for draft-free prompt-lookup speculation (greedy). Returns
+    (tokens (B, steps) int32 ndarray, accept_rate, carry); the stream equals
+    the target's greedy decode."""
+    import numpy as np
+
+    B = int(tokens0.shape[0])
+    done = np.zeros(B, np.int64)
+    chunks = [[] for _ in range(B)]
+    carry = None
+    n_rounds = 0
+    acc_sum = 0.0
+    while done.min() < steps:
+        if carry is None:
+            toks, cnts, carry = spec_rounds_lookup(
+                params, cfg, tokens0, state, history, hist_len, k=k,
+                rounds=rounds_per_dispatch, ngram=ngram, window=window)
+        else:
+            toks, cnts, carry = spec_rounds_lookup_from(
+                params, cfg, carry, k=k, rounds=rounds_per_dispatch,
+                ngram=ngram, window=window)
         toks = np.asarray(toks)
         cnts = np.asarray(cnts)
         for b in range(B):

@@ -32,6 +32,36 @@ def _spec_generate(ctx, args, prompt_tokens, decode):
     from rwkv_tpu.runtime import speculative as S
 
     tcfg, tprm = ctx.cfg, ctx._params
+    B = args.count
+
+    if args.draft == "lookup":
+        # draft-free prompt-lookup speculation (greedy only)
+        if args.temperature != 0:
+            raise SystemExit("--draft lookup is greedy-only; use --temperature 0")
+        window = 512
+        hist = prompt_tokens[:-1][-(window - 2):]
+        tok0 = jnp.full((B,), prompt_tokens[-1], jnp.int32)
+        tst = G.batched_init_state(tcfg, B)
+        if hist:
+            pre = jnp.asarray([hist] * B, jnp.int32)
+            lens = jnp.full((B,), len(hist), jnp.int32)
+            _, tst = G.prefill(tprm, tcfg, pre, tst, lens)
+        history = jnp.asarray([hist or [0]] * B, jnp.int32)
+        hlen = jnp.full((B,), len(hist), jnp.int32)
+        start = time.time()
+        out, accept, _ = S.lookup_generate(
+            tprm, tcfg, tok0, tst, history, hlen, steps=args.tokens,
+            k=args.spec_k, window=window)
+        dt = time.time() - start
+        for g in range(B):
+            print(f"\n--- Generation {g} (speculative, prompt-lookup) ---\n")
+            print(args.prompt, end="[")
+            print(decode(out[g].tolist()), end="]\n")
+        print(f"\nTook {dt:.3f} sec for {B}x{args.tokens} tokens "
+              f"({1000 * dt / (B * args.tokens):.1f} ms per token effective); "
+              f"draft accept rate {accept:.2f}")
+        return
+
     modes = {"int8": "block", "int4": "int4", "int5": "int5",
              "w8a8": "w8a8", "w4a8": "w4a8"}
     if args.draft in modes:
@@ -43,7 +73,6 @@ def _spec_generate(ctx, args, prompt_tokens, decode):
         dprm = jax.tree.map(jnp.asarray, dprm)
         label = args.draft
 
-    B = args.count
     tok0 = jnp.full((B,), prompt_tokens[-1], jnp.int32)
     tst = G.batched_init_state(tcfg, B)
     dst = G.batched_init_state(dcfg, B)
@@ -80,8 +109,9 @@ def main():
     p.add_argument("--top-p", type=float, default=0.5)
     p.add_argument("--draft", default=None,
                    help="speculative decoding: int8|int4|int5|w8a8|w4a8 "
-                        "(self-speculation with the same weights quantized) "
-                        "or a path to a smaller draft model file")
+                        "(self-speculation with the same weights quantized), "
+                        "a path to a smaller draft model file, or 'lookup' "
+                        "(draft-free n-gram prompt lookup, greedy only)")
     p.add_argument("--spec-k", type=int, default=5,
                    help="draft tokens proposed per speculative round")
     args = p.parse_args()

@@ -159,6 +159,30 @@ def test_sampled_distribution_fidelity():
     assert stat < dof + 6 * np.sqrt(2 * dof) + 10, (stat, dof)
 
 
+def test_lookup_speculation_exact_and_accepting():
+    """Draft-free prompt-lookup speculation: exact greedy stream, and the
+    tiny model's cyclic continuation ('the stress and the stress...') must
+    give the n-gram matcher real acceptance."""
+    cfg, prm, state = _tiny(2)
+    prompt = list(b'"in the beginning')
+    B = 2
+    pre = jnp.asarray([prompt[:-1]] * B, jnp.int32)
+    lens = jnp.full((B,), pre.shape[1], jnp.int32)
+    _, st = G.prefill(prm, cfg, pre, state, lens)
+    tok0 = jnp.full((B,), prompt[-1], jnp.int32)
+
+    steps = 40
+    out, accept, _ = S.lookup_generate(
+        prm, cfg, tok0, st, pre, lens, steps=steps, k=4,
+        rounds_per_dispatch=4, window=128)
+
+    st2 = G.batched_init_state(cfg, B)
+    _, st2 = G.prefill(prm, cfg, pre, st2, lens)
+    greedy, _ = G.greedy_decode(prm, cfg, tok0, st2, steps=steps)
+    assert np.array_equal(out, np.asarray(greedy))
+    assert accept > 0.25, accept  # cyclic text: lookup must actually bite
+
+
 def test_generate_completions_draft_cli(capsys, monkeypatch):
     """The --draft CLI surface: batched self-speculative generation end to
     end (greedy: both generations identical and English-ish)."""
