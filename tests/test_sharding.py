@@ -70,6 +70,35 @@ def test_sharded_decode_matches_single_device():
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_toks))
 
 
+def test_sharded_speculative_decode_matches_single_device():
+    """Speculative decoding (w8a8 self-draft) composed over the dp x tp mesh:
+    both models' states shard, the round scan runs under GSPMD, and the
+    emitted stream equals the single-device target greedy stream."""
+    from rwkv_tpu.ops import linear as L
+    from rwkv_tpu.runtime import speculative as S
+
+    mesh = _mesh_or_skip(2, 4)
+    cfg, params, state, tokens, _ = _setup("7.0")
+    draft = L.quantize_params_device(params, mode="w8a8")
+    tok0 = tokens[:, 0]
+    ref_toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=12)
+
+    sp = SH.shard_params(mesh, cfg, params)
+    sd = SH.shard_params(mesh, cfg, draft)
+    ss = SH.shard_state(mesh, cfg, state)
+    ds = SH.shard_state(mesh, cfg, G.batched_init_state(cfg, tok0.shape[0]))
+    st0 = jax.device_put(tok0, M.sharding(mesh, "dp"))
+    with mesh:
+        toks, cnts, _ = S.spec_rounds(sd, cfg, sp, cfg, st0, ds, ss,
+                                      k=3, rounds=6)
+    toks, cnts = np.asarray(toks), np.asarray(cnts)
+    ref = np.asarray(ref_toks)
+    for b in range(ref.shape[0]):
+        flat = np.concatenate([toks[b, r, : cnts[b, r]] for r in range(6)])
+        n = min(len(flat), 12)
+        np.testing.assert_array_equal(flat[:n], ref[b, :n])
+
+
 def test_sharded_w8a8_decode_matches_single_device():
     """Quantized (per-channel int8) weights under TP sharding: the w8a8
     matmul is plain XLA ops, so GSPMD partitions it like the dense path."""
