@@ -125,6 +125,50 @@ def _bench_serving(ctx_params, cfg):
     return n / dt, join_ms
 
 
+def _bench_speculative(params, cfg, draft):
+    """Self-speculation point: int4(+w4a8 head) draft proposing for the bf16
+    target at B=1 — the single-stream latency story (decode is weight-bound,
+    verify streams the target once per K drafts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.runtime import generate as G
+    from rwkv_tpu.runtime import speculative as S
+
+    B, k, rounds, reps = 1, 7, 9, 2
+    state = G.batched_init_state(cfg, B)
+    tok0 = jnp.zeros((B,), jnp.int32)
+
+    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=64)
+    _ = jax.device_get(toks)
+    t0 = time.time()
+    for _i in range(reps):
+        toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=64)
+    _ = jax.device_get(toks)
+    base = 64 * B / ((time.time() - t0) / reps)
+    print(f"decode bf16 B=1 (spec baseline): {base:.1f} tok/s", file=sys.stderr)
+
+    dst = G.batched_init_state(cfg, B)
+    t0 = time.time()
+    _, cnts, _ = S.spec_rounds(draft, cfg, params, cfg, tok0, dst, state,
+                               k=k, rounds=rounds)
+    _ = jax.device_get(cnts)
+    print(f"spec compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    tot = 0
+    for _i in range(reps):
+        _, cnts, _ = S.spec_rounds(draft, cfg, params, cfg, tok0, dst, state,
+                                   k=k, rounds=rounds)
+        tot += int(jax.device_get(cnts).sum())
+    dt = (time.time() - t0) / reps
+    cnts = jax.device_get(cnts)
+    accept = (float(cnts.mean()) - 1.0) / k
+    tps = tot / reps / dt
+    print(f"speculative decode B=1 (int4/w4a8-head self-draft, k={k}): "
+          f"{tps:.1f} tok/s, accept={accept:.2f}, x{tps/base:.2f} vs plain "
+          f"bf16 greedy", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -196,6 +240,16 @@ def main():
     # continuous-batching serving benchmark (the product surface)
     _bench_serving(q4, cfg)
     del q4
+
+    # speculative decoding (single-stream latency; never fails the headline)
+    try:
+        draft = L.quantize_params_device(params, mode="int4", merge_rkv=True,
+                                         head="w4a8")
+        jax.block_until_ready(jax.tree.leaves(draft))
+        _bench_speculative(params, cfg, draft)
+        del draft
+    except Exception as e:  # pragma: no cover
+        print(f"speculative bench skipped: {e}", file=sys.stderr)
 
     # 7B-class int4 point (stderr only): synthesized directly as packed codes
     cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
