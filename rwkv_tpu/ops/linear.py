@@ -269,6 +269,20 @@ def _matmul_quant_parity(x, lin: Linear):
     return y
 
 
+_KERNEL_KINDS = ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g")
+
+
+def _pad_rows_to(t):
+    """Sublane row padding for the fused kernels: token-row counts below 8
+    are sub-sublane activation tiles the Mosaic lowerings were never
+    validated at (B<8 decode, B=1 speculative drafting). The kernels are
+    weight-streaming-bound, so padding to one full sublane is free; callers
+    slice the rows back off. Returns the padded row count or None."""
+    if t < 8 and jax.default_backend() == "tpu":
+        return 8
+    return None
+
+
 def matmul(x, lin: Linear):
     """y = x @ W with W logically (in, out); x is (..., in) f32 or bf16
     (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
@@ -282,6 +296,11 @@ def matmul(x, lin: Linear):
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
         return y.reshape(*lead, y.shape[-1])
+    if x.ndim == 2 and lin.kind in _KERNEL_KINDS:
+        tp = _pad_rows_to(x.shape[0])
+        if tp is not None:
+            y = matmul(jnp.pad(x, ((0, tp - x.shape[0]), (0, 0))), lin)
+            return y[: x.shape[0]]
     if lin.kind == "dense":
         w = lin.w if lin.layer is None else _take_layer(lin.w, lin.layer)
         if w.dtype == jnp.bfloat16:
@@ -462,6 +481,11 @@ def matmul_multi(xs: list, lin: Linear):
     n = len(xs)
     lead = xs[0].shape[:-1]
     x2 = [x.reshape(-1, x.shape[-1]).astype(jnp.float32) for x in xs]
+    tp = _pad_rows_to(x2[0].shape[0])
+    if tp is not None:
+        t = x2[0].shape[0]
+        ys = matmul_multi([jnp.pad(x, ((0, tp - t), (0, 0))) for x in x2], lin)
+        return [y[:t].reshape(*lead, y.shape[-1]) for y in ys]
     from rwkv_tpu.ops import qmm
 
     inn, out = lin.shape

@@ -731,3 +731,36 @@ def test_quantize_params_int5_forward():
     # for int8, measured on this model — halving the weight error as the
     # extra bit should)
     assert c > 0.98, c
+
+
+def test_kernel_row_padding_plumbing(monkeypatch):
+    """Sub-sublane activation rows (B<8 decode, B=1 speculative drafting)
+    are padded to one full sublane before the fused kernels and sliced back
+    (linear._pad_rows_to); force the pad on the CPU reference path and pin
+    exact equality for matmul and matmul_multi."""
+    import rwkv_tpu.ops.linear as L
+
+    w = RNG.standard_normal((128, 512)).astype(np.float32) * 0.3
+    lin = from_record(make_record("w", w, "Q4_0"), parity=False)
+    x = jnp.asarray(RNG.standard_normal((3, 512)).astype(np.float32))
+    y_ref = matmul(x, lin)
+
+    monkeypatch.setattr(L, "_pad_rows_to", lambda t: 8 if t < 8 else None)
+    y_pad = matmul(x, lin)
+    np.testing.assert_array_equal(np.asarray(y_pad), np.asarray(y_ref))
+    assert y_pad.shape == (3, 128)
+
+    from rwkv_tpu.ops.linear import at_layer, matmul_multi, merge_qfast, stack
+
+    parts = [from_record(make_record("w", RNG.standard_normal((128, 512))
+                                     .astype(np.float32) * 0.3, "Q4_0"),
+                         parity=False) for _ in range(3)]
+    merged = merge_qfast([stack([p]) for p in parts])
+    xs = [jnp.asarray(RNG.standard_normal((2, 512)).astype(np.float32))
+          for _ in range(3)]
+    ys = matmul_multi(xs, at_layer(merged, jnp.int32(0)))
+    for i in range(3):
+        y_ref = matmul(xs[i], parts[i])
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(y_ref),
+                                   atol=1e-5, rtol=1e-5)
+        assert ys[i].shape == (2, 128)
