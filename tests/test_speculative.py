@@ -51,12 +51,17 @@ def test_quantized_draft_matches_target_greedy():
     assert 0.0 <= accept <= 1.0
 
 
-def test_cross_model_draft_exactness():
+import pytest
+
+
+@pytest.mark.parametrize("version", ["4.0", "5.2", "6.0", "7.0"])
+def test_cross_model_draft_exactness(version):
     """A draft with a DIFFERENT architecture (depth/width) still yields the
     target's exact greedy stream — rejection handling, not draft quality,
-    carries the correctness."""
-    tcfg = synth.make_config("7.0", n_vocab=256, n_embed=128, n_layer=2)
-    dcfg = synth.make_config("7.0", n_vocab=256, n_embed=64, n_layer=1)
+    carries the correctness. Parametrized over every model family (v4's
+    exp-max state accumulators ride the same round machinery)."""
+    tcfg = synth.make_config(version, n_vocab=256, n_embed=128, n_layer=2)
+    dcfg = synth.make_config(version, n_vocab=256, n_embed=64, n_layer=1)
     tprm = synth.random_params(tcfg, seed=0)
     dprm = synth.random_params(dcfg, seed=1)
     tprm = jax.tree.map(jnp.asarray, tprm)
