@@ -349,6 +349,68 @@ class Server:
         del self._by_slot[stream.slot]
         self._cfg_arrays = None
 
+    # -- session park/resume --------------------------------------------------
+
+    def park(self, sid: int) -> dict:
+        """Suspend an active stream and free its slot: the conversation's
+        ENTIRE context is its O(1) recurrent-state row (RWKV's whole point),
+        so parking is one device->host state-row copy — no tokens to keep, no
+        KV cache to spill. The returned session dict (host numpy, picklable)
+        rejoins instantly via resume() with ZERO re-prefill; an idle chat can
+        be evicted for an active one and continued later bit-exactly (greedy;
+        pinned by tests/test_serve.py).
+
+        The parked stream id stays queryable via result(); resume() returns
+        a fresh id that continues the generation (max_new_tokens keeps
+        counting the full history)."""
+        if sid not in self._streams:
+            raise RWKVArgsError(f"unknown stream id {sid}")
+        stream = self._streams[sid]
+        if stream.done:
+            raise RWKVArgsError(f"stream {sid} already finished")
+        if stream.pending is not None:
+            raise RWKVArgsError(
+                f"stream {sid} is still prefilling (deferred join); park "
+                f"after the join completes")
+        slot = stream.slot
+        session = {
+            "state": jax.tree.map(lambda x: np.asarray(x[:, slot]), self._state),
+            "last_tok": int(self._last_tok[slot]),
+            "config": stream.config,
+            "generated": list(stream.generated),
+            "token_counts": dict(stream.token_counts),
+        }
+        stream.done = True  # parked: this id no longer generates
+        self._free.append(slot)
+        del self._by_slot[slot]
+        self._cfg_arrays = None
+        return session
+
+    def resume(self, session: dict) -> int:
+        """Rejoin a parked session into a free slot: one host->device
+        state-row write, zero prefill. Returns the new stream id."""
+        if not self._free:
+            raise RWKVArgsError("no free slot to resume into")
+        slot = self._free.pop()
+        sid = self._next_sid
+        self._next_sid += 1
+        stream = _Stream(sid=sid, slot=slot, config=session["config"],
+                         generated=list(session["generated"]),
+                         token_counts=dict(session["token_counts"]))
+        self._state = jax.tree.map(
+            lambda b, s: b.at[:, slot].set(jnp.asarray(s)),
+            self._state, session["state"],
+        )
+        row = np.zeros((self.cfg.n_vocab,), np.int32)
+        for t, n in stream.token_counts.items():
+            row[t] = n
+        self._counts = self._counts.at[slot].set(jnp.asarray(row))
+        self._last_tok[slot] = session["last_tok"]
+        self._streams[sid] = stream
+        self._by_slot[slot] = stream
+        self._cfg_arrays = None
+        return sid
+
     # -- decode -------------------------------------------------------------
 
     def _slot_config_arrays(self):

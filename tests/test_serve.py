@@ -311,6 +311,41 @@ def test_deferred_join_does_not_disturb_running_streams(ctx):
     assert srv.result(a) == solo.result(s)
 
 
+def test_park_resume_session(ctx):
+    """Park an active conversation (O(1) state row to host), reuse its slot
+    for another stream, resume with zero re-prefill — the stitched output
+    must equal an uninterrupted solo run, INCLUDING the presence-penalty
+    counts carried through the park."""
+    cfg = StreamConfig(temperature=0.0, max_new_tokens=16, stop_token=None,
+                       presence_penalty=0.7, frequency_penalty=0.3)
+    ref = Server(ctx, max_streams=1, seed=0)
+    r = ref.add(list(b'"in the'), cfg)
+    ref.run_until_done()
+    expect = ref.result(r)
+
+    srv = Server(ctx, max_streams=1, seed=0)
+    a = srv.add(list(b'"in the'), cfg)
+    for _ in range(6):
+        srv.step()
+    session = srv.park(a)
+    assert srv.active_streams == 0 and len(srv._free) == 1
+    prefix = srv.result(a)
+
+    b = srv.add(list(b"Once"), StreamConfig(temperature=0.0, max_new_tokens=5,
+                                            stop_token=None))
+    srv.run_until_done()
+    assert len(srv.result(b)) == 5
+
+    a2 = srv.resume(session)
+    srv.run_until_done()
+    assert srv.result(a2)[: len(prefix)] == prefix
+    assert srv.result(a2) == expect  # resumed stream carries full history
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        srv.park(a)  # parked id cannot be parked again
+
+
 @pytest.mark.parametrize("temperature,top_p,top_k", [
     (1.0, 0.8, 512),
     (1.5, 0.95, 512),   # high-temp near-full nucleus (the round-2 caveat)
