@@ -19,7 +19,11 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 k = int(sys.argv[2]) if len(sys.argv) > 2 else 7
 tmode = sys.argv[3] if len(sys.argv) > 3 else "bf16"
 
-cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
+import os
+if os.environ.get("RWKV_SPEC_TINY"):   # CPU smoke of the full flow
+    cfg = synth.make_config("7.0", n_vocab=512, n_embed=256, n_layer=2)
+else:
+    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
 t0 = time.time()
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"))
 jax.block_until_ready(jax.tree.leaves(params))
