@@ -123,7 +123,8 @@ def main():
     process_tokens(encode(init_prompt))
     save_thread("chat_init")
     save_thread("chat")
-    print(f"Chat initialized! Talk to {assistant} (commands: +reset +gen +i +qa +qq +++ ++ +)")
+    print(f"Chat initialized! Talk to {assistant} (commands: +reset +gen +i "
+          f"+qa +qq +++ ++ + +save FILE +load FILE)")
 
     while True:
         try:
@@ -139,6 +140,30 @@ def main():
             load_thread("chat_init")
             save_thread("chat")
             print(f"{assistant}{separator} Chat reset.\n")
+            continue
+
+        # session persistence (beyond-reference): the whole conversation is
+        # the O(1) state buffer (byte-compatible with the reference's
+        # rwkv_get_state layout), so a chat saves/loads as one .npz
+        if msg[:6].lower() == "+save " or msg[:6].lower() == "+load ":
+            path = msg[6:].strip()
+            try:
+                if msg[:6].lower() == "+save ":
+                    np.savez(path,
+                             tokens=np.asarray(state["tokens"], np.int64),
+                             logits=np.asarray(state["logits"], np.float32),
+                             state=ctx.state_to_buffer(state["state"]))
+                    print(f"{assistant}{separator} Session saved to {path}\n")
+                else:
+                    data = np.load(path if path.endswith(".npz") else path + ".npz")
+                    state["tokens"] = [int(t) for t in data["tokens"]]
+                    state["logits"] = data["logits"].astype(np.float32)
+                    state["state"] = ctx.state_from_buffer(data["state"])
+                    save_thread("chat")
+                    print(f"{assistant}{separator} Session loaded from {path} "
+                          f"({len(state['tokens'])} tokens of context)\n")
+            except Exception as e:
+                print(f"{assistant}{separator} Session {msg[1:5]} failed: {e}\n")
             continue
 
         if (

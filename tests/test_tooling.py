@@ -279,3 +279,34 @@ def test_ppl_sweep_tool(tmp_path):
     assert "delta vs FP16" in table and "Q8_0" in table
     # deltas computed against the FP16 row (BASELINE.md's anchor)
     assert f"{by_fmt['Q8_0']['perplexity'] - by_fmt['FP16']['perplexity']:+.3f}" in table
+
+
+def test_chat_save_load_session(tmp_path, monkeypatch, capsys):
+    """+save/+load chat commands: a whole conversation persists as one .npz
+    (tokens + logits + the byte-compatible O(1) state buffer)."""
+    import json
+    import sys as _sys
+
+    from rwkv_tpu.tools import chat as C
+
+    pj = tmp_path / "p.json"
+    pj.write_text(json.dumps({"user": "B", "assistant": "A", "separator": ":",
+                              "prompt": '"in the beginning'}))
+    sess = str(tmp_path / "sess")
+    inputs = iter([f"+save {sess}", "+reset", f"+load {sess}"])
+
+    def fake_input(prompt=""):
+        try:
+            return next(inputs)
+        except StopIteration:
+            raise EOFError
+
+    monkeypatch.setattr("builtins.input", fake_input)
+    monkeypatch.setattr(_sys, "argv", [
+        "chat", fixture("tiny-rwkv-5v2-730K-FP32.bin"),
+        "--prompt-json", str(pj)])
+    C.main()
+    out = capsys.readouterr().out
+    assert "Session saved" in out and "Session loaded" in out
+    assert "17 tokens of context" in out  # full pre-save context restored
+    assert (tmp_path / "sess.npz").exists()
