@@ -205,63 +205,73 @@ def main():
     decode_tps = _measure_decode(q4, cfg, state, tok0, B, steps, reps,
                                  "decode int4 (packed-nibble serving, fused rkv)")
 
-    # throughput-oriented point (stderr only): larger batch, int4
-    B32 = 32
-    state32 = G.batched_init_state(cfg, B32)
-    tok32 = jnp.zeros((B32,), jnp.int32)
-    toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
-    _ = jax.device_get(toks)
-    t0 = time.time()
-    for _i in range(reps):
+    # Everything past here is stderr extras — a failure in any one stage
+    # must never cost the headline JSON line (the round record).
+    def _extra(label, fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover
+            print(f"{label} skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    def _large_batch():
+        B32 = 32
+        state32 = G.batched_init_state(cfg, B32)
+        tok32 = jnp.zeros((B32,), jnp.int32)
         toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
-    _ = jax.device_get(toks)
-    dt32 = (time.time() - t0) / reps
-    print(f"decode int4 batch 32: {B32*steps/dt32:.1f} tok/s "
-          f"({1000*dt32/steps:.2f} ms/step)", file=sys.stderr)
-    del state32
+        _ = jax.device_get(toks)
+        t0 = time.time()
+        for _i in range(reps):
+            toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
+        _ = jax.device_get(toks)
+        dt32 = (time.time() - t0) / reps
+        print(f"decode int4 batch 32: {B32*steps/dt32:.1f} tok/s "
+              f"({1000*dt32/steps:.2f} ms/step)", file=sys.stderr)
+
+    _extra("large-batch decode", _large_batch)
 
     # prefill throughput (secondary, stderr only)
-    T = 512
-    ptoks = jnp.zeros((B, T), jnp.int32)
-    plens = jnp.full((B,), T, jnp.int32)
-
-    def measure_prefill(p, label):
-        logits, _ = G.prefill(p, cfg, ptoks, state, plens)
+    def _prefill():
+        T = 512
+        ptoks = jnp.zeros((B, T), jnp.int32)
+        plens = jnp.full((B,), T, jnp.int32)
+        logits, _ = G.prefill(params, cfg, ptoks, state, plens)
         _ = jax.device_get(logits)
         t0 = time.time()
         for _i in range(reps):
-            logits, _ = G.prefill(p, cfg, ptoks, state, plens)
+            logits, _ = G.prefill(params, cfg, ptoks, state, plens)
         _ = jax.device_get(logits)
         pdt = (time.time() - t0) / reps
-        print(f"prefill {label}: {B*T/pdt:.0f} tok/s (batch {B} x T={T})", file=sys.stderr)
+        print(f"prefill bf16: {B*T/pdt:.0f} tok/s (batch {B} x T={T})",
+              file=sys.stderr)
 
-    measure_prefill(params, "bf16")
+    _extra("prefill", _prefill)
 
     # continuous-batching serving benchmark (the product surface)
-    _bench_serving(q4, cfg)
+    _extra("serving bench", lambda: _bench_serving(q4, cfg))
     del q4
 
-    # speculative decoding (single-stream latency; never fails the headline)
-    try:
+    # speculative decoding (single-stream latency)
+    def _spec():
         draft = L.quantize_params_device(params, mode="int4", merge_rkv=True,
                                          head="w4a8")
         jax.block_until_ready(jax.tree.leaves(draft))
         _bench_speculative(params, cfg, draft)
-        del draft
-    except Exception as e:  # pragma: no cover
-        print(f"speculative bench skipped: {e}", file=sys.stderr)
+
+    _extra("speculative bench", _spec)
 
     # 7B-class int4 point (stderr only): synthesized directly as packed codes
-    cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
-    t0 = time.time()
-    p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
-                                    quantize="int4")
-    jax.block_until_ready(jax.tree.leaves(p7))
-    print(f"7B-class int4 params built in {time.time()-t0:.1f}s", file=sys.stderr)
-    state7 = G.batched_init_state(cfg7, B)
-    _measure_decode(p7, cfg7, state7, tok0, B, steps, reps,
-                    "decode 7B-class int4")
-    del p7, state7
+    def _seven_b():
+        cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
+        t0 = time.time()
+        p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
+                                        quantize="int4")
+        jax.block_until_ready(jax.tree.leaves(p7))
+        print(f"7B-class int4 params built in {time.time()-t0:.1f}s", file=sys.stderr)
+        state7 = G.batched_init_state(cfg7, B)
+        _measure_decode(p7, cfg7, state7, tok0, B, steps, reps,
+                        "decode 7B-class int4")
+
+    _extra("7B-class decode", _seven_b)
 
     print(f"decode bf16 (for reference): {bf16_tps:.1f} tok/s; "
           f"int8: {int8_tps:.1f} tok/s", file=sys.stderr)
