@@ -181,7 +181,15 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", file=sys.stderr)
 
-    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
+    # RWKV_BENCH_TINY=1: dry-run the ENTIRE bench flow on a toy config
+    # (CPU-runnable) — validates the exact code path the round-record run
+    # executes on the chip; the numbers it prints are meaningless.
+    import os
+    tiny = bool(os.environ.get("RWKV_BENCH_TINY"))
+    if tiny:
+        cfg = synth.make_config("7.0", n_vocab=512, n_embed=256, n_layer=2)
+    else:
+        cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
     t0 = time.time()
     params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"))
     jax.block_until_ready(params)
@@ -190,8 +198,8 @@ def main():
     B = 8
     state = G.batched_init_state(cfg, B)
     tok0 = jnp.zeros((B,), jnp.int32)
-    steps = 64
-    reps = 3
+    steps = 16 if tiny else 64
+    reps = 1 if tiny else 3
 
     bf16_tps = _measure_decode(params, cfg, state, tok0, B, steps, reps,
                                "decode bf16 dense")
@@ -261,7 +269,10 @@ def main():
 
     # 7B-class int4 point (stderr only): synthesized directly as packed codes
     def _seven_b():
-        cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
+        if tiny:
+            cfg7 = synth.make_config("7.0", n_vocab=512, n_embed=512, n_layer=4)
+        else:
+            cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
         t0 = time.time()
         p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
                                         quantize="int4")
