@@ -37,6 +37,7 @@ run 300 python -u scratch/trace_top.py scratch/traces/int4_7b_b8 25
 run 900 python -u scratch/spec_bench.py 1 7 bf16
 run 900 python -u scratch/spec_bench.py 1 7 int8
 run 900 python -u scratch/spec_bench.py 8 7 bf16
+run 900 python -u scratch/spec_bench.py 1 7 lookup
 # 4. int5 coverage points
 run 900 python -u scratch/exp_i4.py int5
 run 900 python -u scratch/exp_i4.py int5m
