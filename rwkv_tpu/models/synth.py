@@ -100,9 +100,10 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                 layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="q5fast",
                                    fmt="INT5")
             elif quantize == "w4a8":
-                # uniform signed s4 codes (std ~4.6); grouped-integer-dot kind
-                q = jax.random.randint(kq, (L_, inn, out), -8, 8,
-                                       jnp.int32).astype(jnp.int4)
+                # uniform packed nibbles (same bytes as int4; unpacked
+                # codes-8 std ~4.6); grouped-integer-dot kind
+                q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
+                                       jnp.int32).astype(jnp.uint8)
                 d = jnp.full((L_, inn // 32, out),
                              0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
                 layers[k] = Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")

@@ -71,10 +71,10 @@ class Linear:
         if self.kind == "quant":
             *_, o, nb, _ = self.q.shape
             return (nb * QK, o)
-        if self.kind in ("qfast", "w8a8", "s4fast", "w4a8g"):  # q is contraction-major (in, out)
+        if self.kind in ("qfast", "w8a8", "s4fast"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
-        if self.kind in ("q4fast", "q5fast", "q6fast"):  # q is (in/2, out) packed nibbles
+        if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g"):  # q is (in/2, out) packed nibbles
             *_, inn2, o = self.q.shape
             return (2 * inn2, o)
         return self.w.shape[-2:]
@@ -373,25 +373,28 @@ def matmul(x, lin: Linear):
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         return qmm.qmm_reference(x, q.astype(jnp.int8), d, None, group=g)
     if lin.kind == "w4a8g":
-        # grouped integer-dot 4-bit path: s8 activations x s4 codes on the
-        # MXU, exact per-32 scales applied to block partial sums — no
-        # per-element dequant pass (qmm.py w4a8 section)
+        # grouped integer-dot 4-bit path: s8 activations x packed-nibble
+        # codes (widened to s8 in VMEM) on the MXU, exact per-32 scales
+        # applied to block partial sums — the f32 per-element dequant pass
+        # shrinks to an integer unpack (qmm.py w4a8 section)
         from rwkv_tpu.ops import qmm
 
         g = group_of(lin.fmt)
-        inn, out = lin.q.shape[-2], lin.q.shape[-1]
-        if jax.default_backend() == "tpu" and qmm.aligned_for_kernel(inn, out, g):
+        b = i4_bias(lin.fmt)
+        inn, out = lin.shape
+        if jax.default_backend() == "tpu" and qmm.aligned_i4(inn, out, g):
             xt, da = qmm.quantize_acts_s8(x)
             if lin.layer is not None:
-                return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer, group=g) * da
+                return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer,
+                                            bias=b, group=g) * da
             if lin.q.ndim == 2:
                 # unstacked (e.g. the head): a length-1 layer axis is a free
                 # reshape, reusing the stacked kernel
                 return qmm.qmm_w4a8_stacked(xt, lin.q[None], lin.d[None], 0,
-                                            group=g) * da
+                                            bias=b, group=g) * da
         q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
-        return qmm.qmm_w4a8_reference(x, q, d, group=g)
+        return qmm.qmm_w4a8_reference(x, q, d, bias=b, group=g)
     if lin.kind == "q4fast":
         from rwkv_tpu.ops import qmm
 
@@ -451,7 +454,7 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
     g = group_of(lin.fmt)
     if out % n_parts or (out // n_parts) % 128:
         return False
-    if lin.kind in ("q4fast", "q5fast", "q6fast"):
+    if lin.kind in ("q4fast", "q5fast", "q6fast", "w4a8g"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
 
@@ -516,7 +519,7 @@ def matmul_multi(xs: list, lin: Linear):
         qa = [qmm.quantize_acts_s8(x) for x in x2]
         y = qmm.qmm_w4a8_stacked_multi(
             jnp.stack([xt for xt, _ in qa]), lin.q, lin.d, lin.layer, n,
-            group=group_of(lin.fmt))
+            bias=i4_bias(lin.fmt), group=group_of(lin.fmt))
         eo = y.shape[-1] // n
         return [(y[..., i * eo:(i + 1) * eo] * qa[i][1]).reshape(*lead, eo)
                 for i in range(n)]
@@ -535,7 +538,8 @@ def matmul_multi(xs: list, lin: Linear):
         elif lin.kind == "w4a8g":
             y = jnp.concatenate(
                 [qmm.qmm_w4a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
-                                        d[:, i * eo:(i + 1) * eo], group=g)
+                                        d[:, i * eo:(i + 1) * eo],
+                                        bias=i4_bias(lin.fmt), group=g)
                  for i in range(n)], axis=-1)
         elif lin.kind in ("q5fast", "q6fast"):
             b, hi = i5_spec(lin.fmt)
@@ -692,11 +696,12 @@ def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
 
 def quantize_dense_w4a8_device(lin: Linear, group: int = 32) -> Linear:
     """Dense Linear -> grouped-integer-dot 4-bit Linear (kind='w4a8g'):
-    q (..., in, out) jnp.int4 signed codes (XLA packs 2/byte in HBM — same
-    bus bytes as q4fast), d (..., in/group, out) bf16 per-group scales.
-    d = absmax/7, code = clip(round(w/d), -8, 7). Same weight values as the
-    'int4' mode; the matmul contracts s8-quantized activations against the
-    s4 codes on the MXU with NO per-element dequant pass (qmm.py w4a8
+    q (..., in/2, out) uint8 half-split packed nibbles (the q4fast layout,
+    bias 8 — 0.5 B/elem on the bus), d (..., in/group, out) bf16 per-group
+    scales. d = absmax/7, code = clip(round(w/d), -8, 7). Same weight
+    values as the 'int4' mode; the matmul contracts s8-quantized
+    activations against the codes (widened to s8 in VMEM) on the MXU with
+    exact per-group scales applied to block partial sums (qmm.py w4a8
     section) — activation rounding is the w8a8-class recipe (corr > 0.999
     on trained tiny models)."""
     if lin.kind == "w4a8g":
@@ -716,7 +721,9 @@ def quantize_dense_w4a8_device(lin: Linear, group: int = 32) -> Linear:
         df = d.astype(jnp.float32)
         inv = jnp.where(df > 0, 1.0 / df, 0.0)
         q = jnp.clip(jnp.round(b * inv[..., None, :]), -8, 7)
-        return q.astype(jnp.int4).reshape(*lead, inn, o), d
+        qu = (q.reshape(*lead, inn, o) + 8).astype(jnp.uint8)  # [0, 15]
+        qp = qu[..., : inn // 2, :] | (qu[..., inn // 2 :, :] << 4)
+        return qp, d
 
     q, d = _q(lin.w)
     return Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")
@@ -865,7 +872,7 @@ def to_dense_f32(lin: Linear) -> Linear:
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
-        if lin.kind == "q4fast":
+        if lin.kind in ("q4fast", "w4a8g"):
             qp = np.asarray(lin.q).astype(np.int32)
             codes = np.concatenate([qp & 15, qp >> 4], axis=-2) - i4_bias(lin.fmt)
         elif lin.kind in ("q5fast", "q6fast"):

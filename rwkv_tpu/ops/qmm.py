@@ -769,15 +769,22 @@ def qmm_s4_stacked_multi(xs, q, d, layer, n_parts: int, group: int = QK,
 
 
 # ---------------------------------------------------------------------------
-# w4a8 grouped integer-dot: the dequant-free 4-bit path. Activations are
+# w4a8 grouped integer-dot: the low-dequant-cost 4-bit path. Activations are
 # pre-quantized to per-row int8 (same recipe as w8a8, ops/linear.py); codes
-# stay s4 in HBM; the kernel contracts s8 x s4 on the MXU in per-scale-group
-# batched dots and applies the EXACT per-32-block scales to the (T, OT)
-# partial sums — so the per-ELEMENT dequant pass (the VPU chain that
-# co-limits the f32-interior kernels with DMA) disappears: VPU work per
-# weight element drops to ~T/group multiply-adds (0.25 at decode T=8).
-# Accuracy = q4fast codes (identical) + a8 activation rounding (the same
-# rounding w8a8 serves with at corr > 0.999).
+# travel HBM->VMEM as half-split packed nibbles (0.5 B/elem, the exact q4fast
+# layout) and are widened to s8 in VMEM; the kernel contracts s8 x s8 on the
+# MXU in per-scale-group batched dots and applies the EXACT per-32-block
+# scales to the (T, OT) partial sums — so the f32 per-element dequant
+# multiply chain of the f32-interior kernels (the VPU work that co-limits
+# them with DMA) shrinks to an integer unpack: f32 multiply-adds per weight
+# element drop to ~T/group (0.25 at decode T=8).
+#
+# Storage is uint8 half-split packed, NOT jnp.int4: Mosaic rejects
+# mixed-width int matmuls ("Mix int/int - NYI", BENCH_r03), and the axon
+# relay cannot pass S4 arrays across a jit boundary at all (RecursionError,
+# probe 2026-08-18) — packed bytes hit neither wall and keep identical
+# bytes-on-the-bus. Accuracy = q4fast codes (identical values) + a8
+# activation rounding (the w8a8-class recipe, corr > 0.999).
 # ---------------------------------------------------------------------------
 
 
@@ -791,124 +798,154 @@ def quantize_acts_s8(x):
     return xq.T, da
 
 
-def _qmm_w4a8_stacked_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref, *,
-                             group, out_dtype):
+def _w4a8_planes(q, bias):
+    """Packed (ITp, OT) uint8 tile -> (lo, hi) s8 code planes. i32 ALU
+    domain (the only one Mosaic lowers, see I4_UNPACK) then a pack to s8
+    for the MXU int path."""
+    qi = q.astype(jnp.int32)
+    lo = ((qi & 15) - bias).astype(jnp.int8)
+    hi = ((qi >> 4) - bias).astype(jnp.int8)
+    return lo, hi
+
+
+def _w4a8_partial(xp, wp, dp, group):
+    """One plane's grouped integer dot: xp (ITp, TT) s8, wp (ITp, OT) s8,
+    dp (ITp//group, OT) scales -> (TT, OT) f32 partial."""
+    itp, tt = xp.shape
+    ot = wp.shape[1]
+    nb = itp // group
+    z = jax.lax.dot_general(
+        xp.reshape(nb, group, tt), wp.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                     # (nb, TT, OT) int32
+    return jnp.sum(z.astype(jnp.float32) * dp.astype(jnp.float32)[:, None, :],
+                   axis=0)
+
+
+def _qmm_w4a8_stacked_kernel(l_ref, xlo_ref, xhi_ref, q_ref, dlo_ref, dhi_ref,
+                             o_ref, acc_ref, *, group, bias, out_dtype):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xt = xt_ref[...]                      # (IT, TT) int8, contraction-major
-    q = q_ref[0]                          # (IT, OT) int4
-    it, tt = xt.shape
-    ot = q.shape[1]
-    nb = it // group
-
-    # per-group batched integer dots: contraction over the group dim only,
-    # partial sums per (block, token, out) rescaled by the block's scale
-    z = jax.lax.dot_general(
-        xt.reshape(nb, group, tt), q.reshape(nb, group, ot),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                     # (nb, TT, OT) int32
-    d = d_ref[0].astype(jnp.float32)      # (nb, OT)
-    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+    lo, hi = _w4a8_planes(q_ref[0], bias)
+    acc_ref[...] += (
+        _w4a8_partial(xlo_ref[...], lo, dlo_ref[0], group)
+        + _w4a8_partial(xhi_ref[...], hi, dhi_ref[0], group)
+    )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
-def qmm_w4a8_stacked(xt, q, d, layer, group: int = QK, out_dtype=jnp.float32,
-                     tiles=None):
-    """Layer-stacked grouped-integer-dot matmul: xt (in, T) int8 activations
-    (quantize_acts_s8), q (L, in, out) jnp.int4 signed codes, d
-    (L, in//group, out) f32/bf16 per-group scales. Returns UNSCALED (T, out)
-    f32 — multiply by the caller's per-row activation scale da."""
+def _w4a8_tiles(t, inn, out, group, tiles):
+    """Tile sizes for the packed grouped-int kernels; ITp indexes PACKED
+    rows (half the unpacked contraction span)."""
+    return _i4_tiles(t, inn, out, group, tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("bias", "group", "out_dtype",
+                                             "tiles"))
+def qmm_w4a8_stacked(xt, q, d, layer, bias: int = 8, group: int = QK,
+                     out_dtype=jnp.float32, tiles=None):
+    """Layer-stacked grouped-integer-dot matmul on PACKED nibbles: xt (in, T)
+    int8 activations (quantize_acts_s8, contraction-major), q (L, in/2, out)
+    uint8 half-split packed codes (pack_i4 layout: byte row r = unpacked row
+    r lo-nibble, row r+in/2 hi-nibble), d (L, in//group, out) f32/bf16
+    per-group scales. Returns UNSCALED (T, out) f32 — multiply by the
+    caller's per-row activation scale da."""
     inn, t = xt.shape
     out = q.shape[2]
-    _check_aligned(inn, out, group)
-    if tiles is None and t <= 256:
-        tiles = DECODE_TILES_I4
-    TT = _pick_tile(t, 256) if t > 256 else t
-    OT = _pick_tile(out, tiles[0] if tiles else 512)
-    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+    half = inn // 2
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _w4a8_tiles(t, inn, out, group, tiles)
+    hb = half // ITp                      # hi-plane block offset
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t // TT, out // OT, inn // IT),
+        grid=(t // TT, out // OT, half // ITp),
         in_specs=[
-            pl.BlockSpec((IT, TT), lambda r, o, i, l: (i, r), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITp, TT), lambda r, o, i, l: (i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ITp, TT), lambda r, o, i, l, hb=hb: (i + hb, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // group, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // group, OT),
+                         lambda r, o, i, l, hb=hb: (l[0], i + hb, o),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
     )
     return pl.pallas_call(
-        functools.partial(_qmm_w4a8_stacked_kernel, group=group, out_dtype=out_dtype),
+        functools.partial(_qmm_w4a8_stacked_kernel, group=group, bias=bias,
+                          out_dtype=out_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xt, q, d)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xt, xt, q, d, d)
 
 
-def _qmm_w4a8_stacked_multi_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref,
-                                   *, group, out_dtype):
+def _qmm_w4a8_stacked_multi_kernel(l_ref, xlo_ref, xhi_ref, q_ref, dlo_ref,
+                                   dhi_ref, o_ref, acc_ref, *, group, bias,
+                                   out_dtype):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    xt = xt_ref[0]                        # (IT, TT) int8, contraction-major
-    q = q_ref[0]                          # (IT, OT) int4
-    it, tt = xt.shape
-    ot = q.shape[1]
-    nb = it // group
-
-    z = jax.lax.dot_general(
-        xt.reshape(nb, group, tt), q.reshape(nb, group, ot),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                     # (nb, TT, OT) int32
-    d = d_ref[0].astype(jnp.float32)      # (nb, OT)
-    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+    lo, hi = _w4a8_planes(q_ref[0], bias)
+    acc_ref[...] += (
+        _w4a8_partial(xlo_ref[0], lo, dlo_ref[0], group)
+        + _w4a8_partial(xhi_ref[0], hi, dhi_ref[0], group)
+    )
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype",
-                                             "tiles"))
-def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, group: int = QK,
-                           out_dtype=jnp.float32, tiles=None):
-    """N projections through one grouped-integer-dot pipeline: xts (N, in, T)
-    int8 pre-quantized transposed activations (quantize_acts_s8 per part),
-    q (L, in, N*Eo) jnp.int4 signed codes, d (L, in//group, N*Eo) f32/bf16.
-    The output tile's index map picks the matching activation block (same
-    fusion trick as qmm_stacked_multi). Returns UNSCALED (T, N*Eo) f32 —
-    callers split along the last axis and multiply each part by its own
-    per-row activation scale da."""
+@functools.partial(jax.jit, static_argnames=("n_parts", "bias", "group",
+                                             "out_dtype", "tiles"))
+def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, bias: int = 8,
+                           group: int = QK, out_dtype=jnp.float32, tiles=None):
+    """N projections through one packed grouped-integer-dot pipeline: xts
+    (N, in, T) int8 pre-quantized transposed activations (quantize_acts_s8
+    per part), q (L, in/2, N*Eo) uint8 half-split packed codes, d
+    (L, in//group, N*Eo) f32/bf16. The output tile's index map picks the
+    matching activation block (same fusion trick as qmm_stacked_multi).
+    Returns UNSCALED (T, N*Eo) f32 — callers split along the last axis and
+    multiply each part by its own per-row activation scale da."""
     n, inn, t = xts.shape
     out = q.shape[2]
     assert n == n_parts and out % n_parts == 0
     eo = out // n_parts
-    _check_aligned(inn, out, group)
-    if tiles is None and t <= 256:
-        tiles = DECODE_TILES_I4
-    TT = _pick_tile(t, 256) if t > 256 else t
-    OT = _pick_tile(eo, tiles[0] if tiles else 512)   # tiles never span parts
-    IT = _pick_tile(inn, (tiles[1] if tiles else (2048 if t <= 256 else 512)))
+    half = inn // 2
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _w4a8_tiles(t, inn, eo, group, tiles)
     per = eo // OT
+    hb = half // ITp
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t // TT, out // OT, inn // IT),
+        grid=(t // TT, out // OT, half // ITp),
         in_specs=[
-            pl.BlockSpec((1, IT, TT), lambda r, o, i, l, per=per: (o // per, i, r),
+            pl.BlockSpec((1, ITp, TT),
+                         lambda r, o, i, l, per=per: (o // per, i, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, IT, OT), lambda r, o, i, l: (l[0], i, o),
+            pl.BlockSpec((1, ITp, TT),
+                         lambda r, o, i, l, per=per, hb=hb: (o // per, i + hb, r),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, IT // group, OT), lambda r, o, i, l: (l[0], i, o),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // group, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // group, OT),
+                         lambda r, o, i, l, hb=hb: (l[0], i + hb, o),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
@@ -917,21 +954,23 @@ def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, group: int = QK,
     )
     return pl.pallas_call(
         functools.partial(_qmm_w4a8_stacked_multi_kernel, group=group,
-                          out_dtype=out_dtype),
+                          bias=bias, out_dtype=out_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xts, q, d)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xts, xts, q, d, d)
 
 
-def qmm_w4a8_reference(x, q, d, group: int = QK):
-    """jnp reference for the w4a8 grouped path: same activation quantization
-    and block-partial-sum rescale, XLA ops only."""
+def qmm_w4a8_reference(x, q, d, bias: int = 8, group: int = QK):
+    """jnp reference for the packed w4a8 grouped path: q (in/2, out) uint8
+    half-split packed; same activation quantization and block-partial-sum
+    rescale, XLA ops only (CPU-safe)."""
     xt, da = quantize_acts_s8(x)
-    inn, out = q.shape[-2], q.shape[-1]
+    codes = unpack_i4(q) - bias           # (in, out) int32
+    inn, out = codes.shape[-2], codes.shape[-1]
     nb = inn // group
     z = jax.lax.dot_general(
         xt.astype(jnp.int32).reshape(nb, group, -1),
-        q.astype(jnp.int32).reshape(nb, group, out),
+        codes.reshape(nb, group, out),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.int32,
     )

@@ -60,23 +60,23 @@ if mode == "micro4w":
     rng = np.random.default_rng(0)
     codes = rng.integers(-8, 8, size=(2, IN, N * OUT)).astype(np.int8)
     d = (rng.standard_normal((2, IN // 32, N * OUT)).astype(np.float32) * 0.01)
-    s4 = jnp.asarray(codes, dtype=jnp.int4)
+    packed = jnp.asarray(qmm.pack_i4(codes, bias=8))  # (2, IN/2, N*OUT) uint8
     dj = jnp.asarray(d)
     xs = rng.standard_normal((N, T, IN)).astype(np.float32)
     refs = [np.asarray(jax.device_get(
-        qmm.qmm_w4a8_reference(xs[i], jnp.asarray(codes[1]), dj[1])))
+        qmm.qmm_w4a8_reference(xs[i], packed[1], dj[1])))
         for i in range(N)]
     try:
         xt, da = qmm.quantize_acts_s8(jnp.asarray(xs[0]))
         y = np.asarray(jax.device_get(
-            qmm.qmm_w4a8_stacked(xt, s4, dj, 1))) * np.asarray(jax.device_get(da))
+            qmm.qmm_w4a8_stacked(xt, packed, dj, 1))) * np.asarray(jax.device_get(da))
         print("w4a8 stacked: max|diff| =", np.abs(y - refs[0]).max())
     except Exception as e:
         print("w4a8 stacked FAILED:", type(e).__name__, str(e)[-300:])
     try:
         qa = [qmm.quantize_acts_s8(jnp.asarray(xs[i])) for i in range(N)]
         y = np.asarray(jax.device_get(qmm.qmm_w4a8_stacked_multi(
-            jnp.stack([t_ for t_, _ in qa]), s4, dj, 1, N)))
+            jnp.stack([t_ for t_, _ in qa]), packed, dj, 1, N)))
         err = max(np.abs(y[:, i * (N * OUT) // N:(i + 1) * (N * OUT) // N]
                          * np.asarray(jax.device_get(qa[i][1]))
                          - refs[i][:, i * (N * OUT) // N:(i + 1) * (N * OUT) // N]).max()

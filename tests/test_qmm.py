@@ -425,25 +425,25 @@ def test_s4fast_linear_dispatch():
 
 
 def test_qmm_w4a8_grouped_interpret():
-    """Grouped integer-dot kernel (w4a8g): s8 activations x s4 codes with
-    exact per-32 scales on block partial sums. Kernel must match the jnp
-    reference bit-close; the reference must track exact dense within the a8
-    activation-rounding band."""
+    """Grouped integer-dot kernel (w4a8g): s8 activations x packed-nibble
+    codes with exact per-32 scales on block partial sums. Kernel must match
+    the jnp reference bit-close; the reference must track exact dense within
+    the a8 activation-rounding band."""
     inn, out, t, L = 1024, 256, 8, 2
     codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
     d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
     x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    packed = jnp.asarray(qmm.pack_i4(codes, bias=8))  # (L, in/2, out) uint8
 
     w = codes[1].astype(np.float32) * np.repeat(np.asarray(d)[1], 32, axis=0)
     y_exact = np.asarray(x) @ w
-    y_ref = np.asarray(qmm.qmm_w4a8_reference(x, jnp.asarray(codes[1]), d[1]))
+    y_ref = np.asarray(qmm.qmm_w4a8_reference(x, packed[1], d[1]))
     scale = np.abs(y_exact).mean() + 1e-9
     assert np.abs(y_ref - y_exact).max() / scale < 0.05  # a8 rounding band
 
-    s4 = jnp.asarray(codes, dtype=jnp.int4)
     xt, da = qmm.quantize_acts_s8(x)
     with pltpu.force_tpu_interpret_mode():
-        y_k = np.asarray(qmm.qmm_w4a8_stacked(xt, s4, d, 1)) * np.asarray(da)
+        y_k = np.asarray(qmm.qmm_w4a8_stacked(xt, packed, d, 1)) * np.asarray(da)
     np.testing.assert_allclose(y_k, y_ref, rtol=1e-5, atol=1e-5)
 
 
@@ -453,11 +453,12 @@ def test_w4a8g_linear_dispatch():
     inn, out, L = 256, 128, 2
     codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
     d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
-    lin = Linear(q=jnp.asarray(codes, dtype=jnp.int4), d=d, kind="w4a8g", fmt="INT4")
+    packed = jnp.asarray(qmm.pack_i4(codes, bias=8))
+    lin = Linear(q=packed, d=d, kind="w4a8g", fmt="INT4")
     assert lin.shape == (inn, out)
     x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
     y = np.asarray(matmul(x, at_layer(lin, 1)))
-    ref = np.asarray(qmm.qmm_w4a8_reference(x, jnp.asarray(codes[1]), d[1]))
+    ref = np.asarray(qmm.qmm_w4a8_reference(x, packed[1], d[1]))
     np.testing.assert_allclose(y, ref, rtol=1e-6, atol=1e-6)
 
 
@@ -468,18 +469,18 @@ def test_qmm_w4a8_stacked_multi_matches_parts():
     inn, eo, t, L, n = 512, 128, 8, 2, 3
     codes = RNG.integers(-8, 8, size=(L, inn, n * eo)).astype(np.int8)
     d = jnp.asarray(RNG.standard_normal((L, inn // 32, n * eo)).astype(np.float32) * 0.01)
-    s4 = jnp.asarray(codes, dtype=jnp.int4)
+    packed = jnp.asarray(qmm.pack_i4(codes, bias=8))
     xs = jnp.asarray(RNG.standard_normal((n, t, inn)).astype(np.float32))
 
     qa = [qmm.quantize_acts_s8(xs[i]) for i in range(n)]
     with pltpu.force_tpu_interpret_mode():
         for layer in range(L):
             y = np.asarray(qmm.qmm_w4a8_stacked_multi(
-                jnp.stack([xt for xt, _ in qa]), s4, d, jnp.int32(layer), n))
+                jnp.stack([xt for xt, _ in qa]), packed, d, jnp.int32(layer), n))
             for i in range(n):
                 part = y[:, i * eo:(i + 1) * eo] * np.asarray(qa[i][1])
                 ref = np.asarray(qmm.qmm_w4a8_stacked(
-                    qa[i][0], s4[:, :, i * eo:(i + 1) * eo],
+                    qa[i][0], packed[:, :, i * eo:(i + 1) * eo],
                     d[:, :, i * eo:(i + 1) * eo], jnp.int32(layer))
                 ) * np.asarray(qa[i][1])
                 np.testing.assert_allclose(part, ref, rtol=1e-5, atol=1e-5)
