@@ -65,7 +65,8 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
-    if quantize in ("int8", "int4", "int5", "w4a8"):
+    if quantize in ("int8", "int4", "int5") or (
+            isinstance(quantize, str) and quantize.startswith("w4a8")):
         import math
 
         from rwkv_tpu.ops.linear import Linear
@@ -99,14 +100,17 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                              0.5 / math.sqrt(inn) / 9.2, jnp.bfloat16)
                 layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="q5fast",
                                    fmt="INT5")
-            elif quantize == "w4a8":
+            elif quantize.startswith("w4a8"):
                 # uniform packed nibbles (same bytes as int4; unpacked
-                # codes-8 std ~4.6); grouped-integer-dot kind
+                # codes-8 std ~4.6); grouped-integer-dot kind; w4a8gN uses
+                # coarse N-element scale groups (serving-only INT4GN format)
+                g = int(quantize[5:]) if len(quantize) > 4 else 32
+                fmt = "INT4" if g == 32 else f"INT4G{g}"
                 q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
                                        jnp.int32).astype(jnp.uint8)
-                d = jnp.full((L_, inn // 32, out),
+                d = jnp.full((L_, inn // g, out),
                              0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
-                layers[k] = Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")
+                layers[k] = Linear(q=q, d=d, m=None, kind="w4a8g", fmt=fmt)
             else:
                 q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
                 # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)

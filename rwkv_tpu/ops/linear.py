@@ -99,6 +99,8 @@ def _take_layer(a, idx):
 
 def group_of(fmt: str) -> int:
     """Sub-block granularity of a quant format's scales (elements per scale)."""
+    if fmt.startswith("INT4G"):  # serving-only w4a8 coarse-group variants
+        return int(fmt[5:])
     return 16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32
 
 
@@ -121,6 +123,8 @@ _I5_SPEC = {
 
 
 def i4_bias(fmt: str) -> int:
+    if fmt.startswith("INT4G"):  # coarse-group w4a8: signed symmetric, bias 8
+        return 8
     return _I4_BIAS[fmt]
 
 
@@ -382,7 +386,7 @@ def matmul(x, lin: Linear):
         g = group_of(lin.fmt)
         b = i4_bias(lin.fmt)
         inn, out = lin.shape
-        if jax.default_backend() == "tpu" and qmm.aligned_i4(inn, out, g):
+        if jax.default_backend() == "tpu" and qmm.aligned_w4a8(inn, out, g):
             xt, da = qmm.quantize_acts_s8(x)
             if lin.layer is not None:
                 return qmm.qmm_w4a8_stacked(xt, lin.q, lin.d, lin.layer,
@@ -454,7 +458,9 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
     g = group_of(lin.fmt)
     if out % n_parts or (out // n_parts) % 128:
         return False
-    if lin.kind in ("q4fast", "q5fast", "q6fast", "w4a8g"):
+    if lin.kind == "w4a8g":
+        return qmm.aligned_w4a8(inn, out // n_parts, g)
+    if lin.kind in ("q4fast", "q5fast", "q6fast"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
 
@@ -708,6 +714,11 @@ def quantize_dense_w4a8_device(lin: Linear, group: int = 32) -> Linear:
         return lin
     if lin.kind != "dense":
         lin = to_dense_f32(lin)
+    # coarse groups fall back per-matrix when the contraction dim doesn't
+    # hold a whole group (tiny models, odd shapes)
+    while group > 32 and lin.w.shape[-2] % group:
+        group //= 2
+    fmt = "INT4" if group == 32 else f"INT4G{group}"
 
     @jax.jit
     def _q(w):
@@ -726,7 +737,7 @@ def quantize_dense_w4a8_device(lin: Linear, group: int = 32) -> Linear:
         return qp, d
 
     q, d = _q(lin.w)
-    return Linear(q=q, d=d, m=None, kind="w4a8g", fmt="INT4")
+    return Linear(q=q, d=d, m=None, kind="w4a8g", fmt=fmt)
 
 
 def quantize_dense_w8a8_device(lin: Linear) -> Linear:
@@ -784,12 +795,21 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     (e.g. a 7B bf16 model on one 16 GB chip). The input pytree's converted
     leaves become invalid.
     """
+    import functools as _ft
+
     quantizers = {
         "block": quantize_dense_device,
         "int4": quantize_dense_i4_device,
         "int5": quantize_dense_i5_device,
         "w8a8": quantize_dense_w8a8_device,
         "w4a8": quantize_dense_w4a8_device,
+        # coarse-group w4a8 variants: each per-group integer dot contracts
+        # K=64/128/256 — filling the MXU's pipelined contraction depth that
+        # K=32 group dots leave 4x idle (measured: g=32 w4a8 is SLOWER than
+        # the f32-interior int4 kernel; see docs/KERNELS.md)
+        "w4a8g64": _ft.partial(quantize_dense_w4a8_device, group=64),
+        "w4a8g128": _ft.partial(quantize_dense_w4a8_device, group=128),
+        "w4a8g256": _ft.partial(quantize_dense_w4a8_device, group=256),
     }
     quantize_one = quantizers[mode]
 
@@ -810,7 +830,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
-    if merge_rkv and mode in ("block", "int4", "int5", "w4a8"):
+    if merge_rkv and mode in ("block", "int4", "int5", "w4a8",
+                              "w4a8g64", "w4a8g128", "w4a8g256"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
         # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
@@ -822,7 +843,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
             names.append("att_gate")
         parts = [layers.get(k) for k in names]
         want_kind = {"block": "qfast", "int4": "q4fast", "int5": "q5fast",
-                     "w4a8": "w4a8g"}[mode]
+                     "w4a8": "w4a8g", "w4a8g64": "w4a8g", "w4a8g128": "w4a8g",
+                     "w4a8g256": "w4a8g"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on
@@ -852,6 +874,9 @@ def quantize_params_device(params, keys=None, mode: str = "block",
             # they are safe to apply at any head shape
             "w8a8": lambda: True,
             "w4a8": lambda: True,
+            "w4a8g64": lambda: True,
+            "w4a8g128": lambda: True,
+            "w4a8g256": lambda: True,
         }[hmode]()
         if ok:
             hq = quantizers[hmode](hd)

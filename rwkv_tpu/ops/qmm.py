@@ -840,10 +840,32 @@ def _qmm_w4a8_stacked_kernel(l_ref, xlo_ref, xhi_ref, q_ref, dlo_ref, dhi_ref,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def aligned_w4a8(inn: int, out: int, group: int = QK) -> bool:
+    """Tiling feasibility for the packed grouped-int kernels: out fills
+    128-lane tiles and each packed half splits into whole scale groups
+    (groups may be coarse — 64/128/256 — for the serving-only INT4G*
+    formats, which fill the MXU's contraction depth with each group dot)."""
+    half = inn // 2
+    return (inn % 2 == 0 and out % 128 == 0 and half % group == 0
+            and half % 8 == 0)
+
+
 def _w4a8_tiles(t, inn, out, group, tiles):
     """Tile sizes for the packed grouped-int kernels; ITp indexes PACKED
     rows (half the unpacked contraction span)."""
-    return _i4_tiles(t, inn, out, group, tiles)
+    half = inn // 2
+    TT = _pick_tile(t, 256) if t > 256 else t
+    if tiles is None and t <= 256:
+        tiles = DECODE_TILES_I4
+    OT = _pick_tile(out, tiles[0] if tiles else 512)
+    ITp = _pick_tile(half, (tiles[1] if tiles else (1024 if t <= 256 else 256)))
+    if ITp % group:
+        # snap down to a whole-group multiple (coarse groups may not divide
+        # the default tile)
+        ITp = max(group, ITp - ITp % group)
+        while half % ITp:
+            ITp -= group
+    return TT, OT, ITp
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "group", "out_dtype",
@@ -859,7 +881,9 @@ def qmm_w4a8_stacked(xt, q, d, layer, bias: int = 8, group: int = QK,
     inn, t = xt.shape
     out = q.shape[2]
     half = inn // 2
-    _check_aligned_i4(inn, out, group)
+    if not aligned_w4a8(inn, out, group):
+        raise ValueError(f"w4a8 kernel needs out % 128 == 0 and (in/2) % "
+                         f"{group} == 0, got (in={inn}, out={out})")
     TT, OT, ITp = _w4a8_tiles(t, inn, out, group, tiles)
     hb = half // ITp                      # hi-plane block offset
 
@@ -925,7 +949,9 @@ def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, bias: int = 8,
     assert n == n_parts and out % n_parts == 0
     eo = out // n_parts
     half = inn // 2
-    _check_aligned_i4(inn, out, group)
+    if not aligned_w4a8(inn, eo, group):
+        raise ValueError(f"w4a8 multi kernel needs eo % 128 == 0 and (in/2) "
+                         f"% {group} == 0, got (in={inn}, eo={eo})")
     TT, OT, ITp = _w4a8_tiles(t, inn, eo, group, tiles)
     per = eo // OT
     hb = half // ITp

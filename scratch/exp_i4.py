@@ -121,7 +121,8 @@ else:
 
 t0 = time.time()
 quant = {"int8": "int8", "int5": "int5", "w4a8g": "w4a8",
-         "w4a8best": "w4a8"}.get(mode.rstrip("m"), "int4")
+         "w4a8best": "w4a8", "w4a8g64": "w4a8g64", "w4a8g128": "w4a8g128",
+         "w4a8g256": "w4a8g256"}.get(mode.rstrip("mh"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -154,6 +155,12 @@ if mode in ("w8a8head", "w4a8head", "w4a8best"):
           "w4a8head": L.quantize_dense_w4a8_device,
           "w4a8best": L.quantize_dense_w4a8_device}[mode]
     params["head"] = qh(params["head"])
+if mode.startswith("w4a8g") and mode.endswith("h"):
+    # w4a8gNh: coarse-group blocks + same-mode head
+    import functools
+    g = int(mode[5:-1])
+    params = dict(params)
+    params["head"] = L.quantize_dense_w4a8_device(params["head"], group=g)
 if mode == "s4":
     @jax.jit
     def to_s4(qp):

@@ -486,6 +486,47 @@ def test_qmm_w4a8_stacked_multi_matches_parts():
                 np.testing.assert_allclose(part, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("g", [64, 128, 256])
+def test_qmm_w4a8_coarse_groups(g):
+    """Serving-only coarse-group w4a8 (INT4G64/128/256): each per-group
+    integer dot contracts K=g, filling the MXU's pipelined contraction
+    depth that K=32 group dots leave idle. Kernel must match the grouped
+    jnp reference bit-close at every group size."""
+    inn, out, t, L = 2048, 256, 8, 2
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    packed = jnp.asarray(qmm.pack_i4(codes, bias=8))
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_w4a8_reference(x, packed[1], d[1], group=g))
+    xt, da = qmm.quantize_acts_s8(x)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_w4a8_stacked(xt, packed, d, 1, group=g)) * np.asarray(da)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_w4a8_coarse_group_forward():
+    """mode='w4a8g128' end-to-end on a real tiny model: INT4G128 Linears,
+    logits in the 4-bit band vs dense (coarser scales cost a little extra
+    error vs per-32 but stay serving-quality)."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+
+    qw = quantize_params_device(prm, mode="w4a8g128")
+    fmts = {v.fmt for v in qw["layers"].values()
+            if hasattr(v, "kind") and v.kind == "w4a8g"}
+    # tiny model: in=64 matrices fall back to G64; ffn_v (in=256) holds G128
+    assert fmts <= {"INT4G128", "INT4G64"} and "INT4G128" in fmts, fmts
+    logits_q, _ = F.forward(qw, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q))[0, 1]
+    assert c > 0.97, c
+
+
 def test_quantize_params_w4a8_merge_and_forward():
     """mode='w4a8' with merge_rkv on a real tiny model: merged w4a8g rkv
     projections flow through matmul_multi's reference path off-TPU, match
