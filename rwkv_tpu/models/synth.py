@@ -65,7 +65,7 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
 
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
-    if quantize in ("int8", "int4", "int5") or (
+    if quantize in ("int8", "int4", "int4bc", "int5") or (
             isinstance(quantize, str) and quantize.startswith("w4a8")):
         import math
 
@@ -80,14 +80,15 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                 continue
             L_, inn, out = lin.w.shape
             kq = jax.random.fold_in(jax.random.PRNGKey(seed), 1000 + i)
-            if quantize == "int4":
+            if quantize in ("int4", "int4bc"):
                 # two uniform nibbles per byte; unpacked codes-8 have std
                 # ~4.6; d sets w_eff std to 0.5/sqrt(in)
                 q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
                                        jnp.int32).astype(jnp.uint8)
                 d = jnp.full((L_, inn // 32, out),
                              0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
-                layers[k] = Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
+                kind = "q4fast" if quantize == "int4" else "q4bc"
+                layers[k] = Linear(q=q, d=d, m=None, kind=kind, fmt="INT4")
             elif quantize == "int5":
                 # uniform nibble + bit planes; unpacked codes-16 have std
                 # ~9.2; d sets w_eff std to 0.5/sqrt(in)

@@ -21,9 +21,16 @@ import time
 import numpy as np
 
 
-# decode-regime candidates: (OT, IT) — IT is the packed-row tile for int4
-CANDIDATES_INT8 = [None, (512, 1024), (512, 2048), (256, 2048), (1024, 1024)]
-CANDIDATES_INT4 = [None, (512, 512), (512, 1024), (1024, 512), (256, 512)]
+# decode-regime candidates: (OT, IT) — IT is the packed-row tile for int4.
+# Wide-OT candidates matter at 7B-class widths: OT=512 tiles read 512-byte
+# bursts from 4096-wide weight rows (discontiguous DMA); OT spanning the
+# full row makes every weight DMA contiguous. VMEM stays comfortable
+# (q tile OT*ITp bytes; <=2 MB double-buffered against ~16 MB).
+CANDIDATES_INT8 = [None, (512, 1024), (512, 2048), (256, 2048), (1024, 1024),
+                   (2048, 512), (2048, 1024), (4096, 512)]
+CANDIDATES_INT4 = [None, (512, 512), (512, 1024), (1024, 512), (256, 512),
+                   (1024, 1024), (2048, 512), (2048, 1024), (4096, 512),
+                   (4096, 256)]
 
 
 def _measure_decode(params, cfg, batch: int, steps: int, reps: int) -> float:
@@ -58,15 +65,15 @@ def autotune_decode_tiles(mode: str = "int4", n_embed: int = 2048,
     from rwkv_tpu.models import synth
     from rwkv_tpu.ops import qmm
 
-    assert mode in ("int4", "int8")
+    assert mode in ("int4", "int4bc", "int8")
     cfg = synth.make_config("7.0", n_vocab=65536, n_embed=n_embed,
                             n_layer=n_layer)
     params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"),
                                         quantize=mode)
     jax.block_until_ready(jax.tree.leaves(params))
     if candidates is None:
-        candidates = CANDIDATES_INT4 if mode == "int4" else CANDIDATES_INT8
-    knob = "DECODE_TILES_I4" if mode == "int4" else "DECODE_TILES"
+        candidates = CANDIDATES_INT8 if mode == "int8" else CANDIDATES_INT4
+    knob = "DECODE_TILES" if mode == "int8" else "DECODE_TILES_I4"
     prev = getattr(qmm, knob)
 
     results = []
@@ -98,7 +105,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("int4", "int8"), default="int4")
+    ap.add_argument("--mode", choices=("int4", "int4bc", "int8"), default="int4")
     ap.add_argument("--n-embed", type=int, default=2048)
     ap.add_argument("--n-layer", type=int, default=24)
     ap.add_argument("--batch", type=int, default=8)

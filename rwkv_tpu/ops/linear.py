@@ -74,7 +74,7 @@ class Linear:
         if self.kind in ("qfast", "w8a8", "s4fast"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
-        if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g"):  # q is (in/2, out) packed nibbles
+        if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g", "q4bc"):  # q is (in/2, out) packed nibbles
             *_, inn2, o = self.q.shape
             return (2 * inn2, o)
         return self.w.shape[-2:]
@@ -273,7 +273,8 @@ def _matmul_quant_parity(x, lin: Linear):
     return y
 
 
-_KERNEL_KINDS = ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g")
+_KERNEL_KINDS = ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
+                 "q4bc")
 
 
 def _pad_rows_to(t):
@@ -420,6 +421,27 @@ def matmul(x, lin: Linear):
         if use_kernel:
             return qmm.qmm_i4(x, lin.q, lin.d, lin.m, bias=b, group=g)
         return qmm.qmm_i4_reference(x, lin.q, lin.d, lin.m, bias=b, group=g)
+    if lin.kind == "q4bc":
+        # bitcast-unpack 4-bit path: row-pair packed signed nibbles, in-VMEM
+        # pltpu.bitcast reinterpret + one hardware convert per element
+        # (qmm.py bc4 section)
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        inn, out = lin.shape
+        if jax.default_backend() == "tpu" and qmm.aligned_i4(inn, out, g):
+            if lin.layer is not None:
+                return qmm.qmm_bc4_stacked(x, lin.q, lin.d, lin.m, lin.layer,
+                                           group=g)
+            if lin.q.ndim == 2:
+                return qmm.qmm_bc4_stacked(
+                    x, lin.q[None], lin.d[None],
+                    None if lin.m is None else lin.m[None], 0, group=g)
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        m = (None if lin.m is None
+             else (lin.m if lin.layer is None else _take_layer(lin.m, lin.layer)))
+        return qmm.qmm_bc4_reference(x, q, d, m, group=g)
     if lin.kind in ("q5fast", "q6fast"):
         from rwkv_tpu.ops import qmm
 
@@ -460,7 +482,7 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
         return False
     if lin.kind == "w4a8g":
         return qmm.aligned_w4a8(inn, out // n_parts, g)
-    if lin.kind in ("q4fast", "q5fast", "q6fast"):
+    if lin.kind in ("q4fast", "q5fast", "q6fast", "q4bc"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
 
@@ -507,6 +529,10 @@ def matmul_multi(xs: list, lin: Linear):
         y = qmm.qmm_i4_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.layer, n,
             bias=i4_bias(lin.fmt), group=group_of(lin.fmt))
+    elif lin.kind == "q4bc" and use_kernel:
+        y = qmm.qmm_bc4_stacked_multi(
+            jnp.stack(x2), lin.q, lin.d, lin.m, lin.layer, n,
+            group=group_of(lin.fmt))
     elif lin.kind in ("q5fast", "q6fast") and use_kernel:
         b5, hi5 = i5_spec(lin.fmt)
         y = qmm.qmm_i5_stacked_multi(
@@ -541,6 +567,14 @@ def matmul_multi(xs: list, lin: Linear):
                 [qmm.qmm_i4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
                                       d[:, i * eo:(i + 1) * eo], bias=b, group=g)
                  for i in range(n)], axis=-1)
+        elif lin.kind == "q4bc":
+            m = lin.m if lin.layer is None or lin.m is None else _take_layer(lin.m, lin.layer)
+            y = jnp.concatenate(
+                [qmm.qmm_bc4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                       d[:, i * eo:(i + 1) * eo],
+                                       None if m is None else m[:, i * eo:(i + 1) * eo],
+                                       group=g)
+                 for i in range(n)], axis=-1)
         elif lin.kind == "w4a8g":
             y = jnp.concatenate(
                 [qmm.qmm_w4a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
@@ -573,7 +607,8 @@ def stack(lins: list) -> Linear:
     """
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
-    packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"}
+    packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
+              "w4a8g", "q4bc"}
     if len(kinds) > 1 or (kinds <= packed and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
@@ -662,6 +697,37 @@ def quantize_dense_i4_device(lin: Linear, group: int = 32) -> Linear:
 
     q, d = _q(lin.w)
     return Linear(q=q, d=d, m=None, kind="q4fast", fmt="INT4")
+
+
+def quantize_dense_bc4_device(lin: Linear, group: int = 32) -> Linear:
+    """Dense Linear -> bitcast-layout packed 4-bit Linear (kind='q4bc',
+    fmt='INT4'). Same codes/scales as quantize_dense_i4_device (identical
+    values, identical bus bytes), but row-PAIR packed signed nibbles so the
+    kernel unpacks with a free in-VMEM `pltpu.bitcast` + one hardware
+    convert instead of the half-split widen/mask/shift/sub VPU chain (the
+    measured co-limiter of int4 decode — qmm.py bc4 section)."""
+    if lin.kind == "q4bc":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        d = (amax / jnp.float32(7.0)).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / df, 0.0)
+        s = jnp.clip(jnp.round(b * inv[..., None, :]), -8, 7)
+        s = (s.astype(jnp.int32) & 15).astype(jnp.uint8).reshape(*lead, inn, o)
+        lo = s[..., 0::2, :]
+        hi = s[..., 1::2, :]
+        return lo | (hi << 4), d
+
+    q, d = _q(lin.w)
+    return Linear(q=q, d=d, m=None, kind="q4bc", fmt="INT4")
 
 
 def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
@@ -803,6 +869,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         "int5": quantize_dense_i5_device,
         "w8a8": quantize_dense_w8a8_device,
         "w4a8": quantize_dense_w4a8_device,
+        "int4bc": quantize_dense_bc4_device,
         # coarse-group w4a8 variants: each per-group integer dot contracts
         # K=64/128/256 — filling the MXU's pipelined contraction depth that
         # K=32 group dots leave 4x idle (measured: g=32 w4a8 is SLOWER than
@@ -830,7 +897,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ]
     for k in keys:
         layers[k] = convert(layers[k])
-    if merge_rkv and mode in ("block", "int4", "int5", "w4a8",
+    if merge_rkv and mode in ("block", "int4", "int4bc", "int5", "w4a8",
                               "w4a8g64", "w4a8g128", "w4a8g256"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
@@ -842,9 +909,9 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         if isinstance(layers.get("att_gate"), Linear):
             names.append("att_gate")
         parts = [layers.get(k) for k in names]
-        want_kind = {"block": "qfast", "int4": "q4fast", "int5": "q5fast",
-                     "w4a8": "w4a8g", "w4a8g64": "w4a8g", "w4a8g128": "w4a8g",
-                     "w4a8g256": "w4a8g"}[mode]
+        want_kind = {"block": "qfast", "int4": "q4fast", "int4bc": "q4bc",
+                     "int5": "q5fast", "w4a8": "w4a8g", "w4a8g64": "w4a8g",
+                     "w4a8g128": "w4a8g", "w4a8g256": "w4a8g"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on
@@ -868,6 +935,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         ok = {
             "block": lambda: qmm.aligned_for_kernel(inn, o, QK),
             "int4": lambda: qmm.aligned_i4(inn, o, QK),
+            "int4bc": lambda: qmm.aligned_i4(inn, o, QK),
             "int5": lambda: qmm.aligned_i4(inn, o, QK),
             # the integer-dot modes have shape-agnostic XLA fallbacks that
             # keep weights packed (no per-step dequant materialization), so
@@ -895,11 +963,18 @@ def to_dense_f32(lin: Linear) -> Linear:
     if lin.kind == "w8a8":
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
-    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"):
+    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
+                    "q4bc"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
         if lin.kind in ("q4fast", "w4a8g"):
             qp = np.asarray(lin.q).astype(np.int32)
             codes = np.concatenate([qp & 15, qp >> 4], axis=-2) - i4_bias(lin.fmt)
+        elif lin.kind == "q4bc":
+            qp = np.asarray(lin.q).astype(np.int32)
+            lo = ((qp & 15) ^ 8) - 8
+            hi = ((qp >> 4) ^ 8) - 8
+            *lead_, inn2_, o_ = qp.shape
+            codes = np.stack([lo, hi], axis=-2).reshape(*lead_, 2 * inn2_, o_)
         elif lin.kind in ("q5fast", "q6fast"):
             from rwkv_tpu.ops import qmm
 

@@ -986,6 +986,218 @@ def qmm_w4a8_stacked_multi(xts, q, d, layer, n_parts: int, bias: int = 8,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xts, xts, q, d, d)
 
 
+# ---------------------------------------------------------------------------
+# Bitcast-unpack packed-int4 kernels ("bc4"): the hardware-unpack 4-bit path.
+#
+# Layout ("row-pair packing"): a (in, out) matrix of SIGNED s4 codes (two's
+# complement, value = s*d (+ m')) is stored as (in/2, out) uint8 where byte
+# row r holds unpacked row 2r in its LOW nibble and row 2r+1 in its HIGH
+# nibble. In-kernel, `pltpu.bitcast(tile, int4)` reinterprets the (ITp, OT)
+# byte tile as (2*ITp, OT) s4 along the SUBLANE dim — verified on-chip
+# (probe 2026-08-19): lo-first order, so the unpack is a FREE register
+# reinterpret and the natural row order needs no permutation anywhere.
+# Dequant then costs ONE hardware convert + one multiply per element,
+# replacing the half-split kernels' widen/mask/shift/sub chain (~4.5 VPU
+# ops/elem — the measured co-limiter of int4 decode).
+#
+# Min-bias formats (Q4_1/Q4_K/Q2_K/Q3_K: value = (code - bias)*d + m) fold
+# into this layout exactly: s = code - 8 (mod 16), m' = (8 - bias)*d + m,
+# computed once at pack time.
+# ---------------------------------------------------------------------------
+
+
+def pack_bc4(codes, bias: int = 8):
+    """Codes (..., in, out) unsigned-domain ints: values+... i.e. the same
+    [0, 15] code domain pack_i4 takes (value = (code - bias) * d + m).
+    Returns (..., in/2, out) uint8 row-pair packed SIGNED nibbles
+    s = code - 8; callers with bias != 8 must fold the residual offset into
+    m' = (8 - bias) * d + m. numpy in, numpy out."""
+    import numpy as np
+
+    q = np.asarray(codes).astype(np.int32)
+    if q.min() < 0 or q.max() > 15:
+        raise ValueError(f"codes outside [0,15]: [{q.min()}, {q.max()}]")
+    s = (q - 8) & 15
+    lo = s[..., 0::2, :].astype(np.uint8)
+    hi = s[..., 1::2, :].astype(np.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_bc4(qp):
+    """(..., in/2, out) uint8 row-pair packed -> (..., in, out) int32 signed
+    codes [-8, 7] (jnp; CPU-safe reference unpack)."""
+    qi = qp.astype(jnp.int32)
+    lo = ((qi & 15) ^ 8) - 8
+    hi = ((qi >> 4) ^ 8) - 8
+    *lead, inn2, out = qi.shape
+    # interleave: row 2r = lo[r], row 2r+1 = hi[r]
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * inn2, out)
+
+
+def _bc4_weights(q, d, m, *, group, compute):
+    """Bitcast-unpack one packed tile to its dequantized (2*ITp, OT) plane."""
+    w4 = pltpu.bitcast(q, jnp.int4)                  # (2*ITp, OT) s4, free
+    w = w4.astype(compute) * _expand_scales(d.astype(compute), group)
+    if m is not None:
+        w = w + _expand_scales(m.astype(compute), group)
+    return w
+
+
+def _qmm_bc4_stacked_kernel(l_ref, x_ref, q_ref, dm_ref, o_ref, acc_ref, *,
+                            with_min, group, out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        d, m = dm_ref[0, :, :, 0], dm_ref[0, :, :, 1]
+    else:
+        d, m = dm_ref[0], None
+    w = _bc4_weights(q_ref[0], d, m, group=group, compute=compute)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(compute), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles",
+                                             "compute"))
+def qmm_bc4_stacked(x, q, d, m, layer, group: int = QK, out_dtype=jnp.float32,
+                    tiles=None, compute=None):
+    """Layer-stacked bitcast-unpack int4 matmul: x (T, in) f32, q
+    (L, in/2, out) uint8 row-pair packed signed nibbles, d[, m']
+    (L, in//group, out) f32 (m' = folded min offset, see pack_bc4), layer a
+    traced scalar."""
+    compute = I4_COMPUTE if compute is None else compute
+    t = x.shape[0]
+    inn2, out = q.shape[1], q.shape[2]
+    inn = 2 * inn2
+    _check_aligned_i4(inn, out, group)
+    TT, OT, ITp = _i4_tiles(t, inn, out, group, tiles)
+    dg = 2 * ITp // group
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_spec = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l: (l[0], i, o, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        d_spec = pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                              memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((TT, 2 * ITp), lambda r, o, i, l: (r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            d_spec,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc4_stacked_kernel, with_min=with_min,
+                          group=group, out_dtype=out_dtype, compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, q, dm)
+
+
+def _qmm_bc4_stacked_multi_kernel(l_ref, x_ref, q_ref, dm_ref, o_ref, acc_ref,
+                                  *, with_min, group, out_dtype, compute):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if with_min:
+        d, m = dm_ref[0, :, :, 0], dm_ref[0, :, :, 1]
+    else:
+        d, m = dm_ref[0], None
+    w = _bc4_weights(q_ref[0], d, m, group=group, compute=compute)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0].astype(compute), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype",
+                                             "tiles", "compute"))
+def qmm_bc4_stacked_multi(xs, q, d, m, layer, n_parts: int, group: int = QK,
+                          out_dtype=jnp.float32, tiles=None, compute=None):
+    """N projections through one bitcast-unpack int4 pipeline: xs (N, T, in),
+    q (L, in/2, N*Eo) row-pair packed, d[, m'] (L, in//group, N*Eo). Same
+    output-tile activation-block fusion as qmm_i4_stacked_multi."""
+    compute = I4_COMPUTE if compute is None else compute
+    n, t, inn = xs.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    inn2 = inn // 2
+    _check_aligned_i4(inn, eo, group)
+    TT, OT, ITp = _i4_tiles(t, inn, eo, group, tiles)
+    per = eo // OT
+    dg = 2 * ITp // group
+
+    with_min = m is not None
+    if with_min:
+        dm = jnp.stack([d, m], axis=-1)
+        d_spec = pl.BlockSpec((1, dg, OT, 2), lambda r, o, i, l: (l[0], i, o, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        dm = d
+        d_spec = pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                              memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((1, TT, 2 * ITp),
+                         lambda r, o, i, l, per=per: (o // per, r, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            d_spec,
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc4_stacked_multi_kernel, with_min=with_min,
+                          group=group, out_dtype=out_dtype, compute=compute),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q, dm)
+
+
+def qmm_bc4_reference(x, q, d, m=None, group: int = QK):
+    """jnp reference for the row-pair bitcast layout (CPU-safe): unpack to
+    signed codes, dequant, dense dot. Same math as the kernel."""
+    codes = unpack_bc4(q).astype(jnp.float32)
+    inn, out = codes.shape[-2], codes.shape[-1]
+    nb = inn // group
+    w = codes.reshape(nb, group, out) * d.astype(jnp.float32)[:, None, :]
+    if m is not None:
+        w = w + m.astype(jnp.float32)[:, None, :]
+    return jnp.dot(x, w.reshape(inn, out), preferred_element_type=jnp.float32)
+
+
 def qmm_w4a8_reference(x, q, d, bias: int = 8, group: int = QK):
     """jnp reference for the packed w4a8 grouped path: q (in/2, out) uint8
     half-split packed; same activation quantization and block-partial-sum

@@ -46,7 +46,8 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
         else:
             q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
-    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g"):
+    if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
+                    "q4bc"):
         # q: (L, in, O) int8 — or (L, in/2, O) packed uint8 for q4fast/q5fast/
         # q6fast (plus their (L, in*b/8, O) high-bit plane qh) — and d/m:
         # (L, nb, O), all contraction-major. Packed kinds under a mesh

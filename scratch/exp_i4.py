@@ -122,7 +122,7 @@ else:
 t0 = time.time()
 quant = {"int8": "int8", "int5": "int5", "w4a8g": "w4a8",
          "w4a8best": "w4a8", "w4a8g64": "w4a8g64", "w4a8g128": "w4a8g128",
-         "w4a8g256": "w4a8g256"}.get(mode.rstrip("mh"), "int4")
+         "w4a8g256": "w4a8g256", "bc4": "int4bc"}.get(mode.rstrip("mh"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -155,6 +155,9 @@ if mode in ("w8a8head", "w4a8head", "w4a8best"):
           "w4a8head": L.quantize_dense_w4a8_device,
           "w4a8best": L.quantize_dense_w4a8_device}[mode]
     params["head"] = qh(params["head"])
+if mode == "bc4h":
+    params = dict(params)
+    params["head"] = L.quantize_dense_bc4_device(params["head"])
 if mode.startswith("w4a8g") and mode.endswith("h"):
     # w4a8gNh: coarse-group blocks + same-mode head
     import functools

@@ -486,6 +486,80 @@ def test_qmm_w4a8_stacked_multi_matches_parts():
                 np.testing.assert_allclose(part, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_qmm_bc4_interpret_and_minfold():
+    """Bitcast-layout int4 kernels (q4bc): row-pair packed signed nibbles,
+    in-kernel pltpu.bitcast unpack. Kernel must match the reference unpack
+    exactly; the folded min offset m' = (8-bias)*d + m must reproduce
+    min-bias (Q4_1-class) semantics."""
+    inn, out, t, L = 1024, 256, 8, 2
+    codes = RNG.integers(0, 16, size=(L, inn, out))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.01)
+    packed = jnp.asarray(qmm.pack_bc4(codes, bias=8))
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+
+    w = (codes[1].astype(np.float32) - 8) * np.repeat(np.asarray(d)[1], 32, axis=0)
+    y_exact = np.asarray(x) @ w
+    ref = np.asarray(qmm.qmm_bc4_reference(x, packed[1], d[1]))
+    np.testing.assert_allclose(ref, y_exact, rtol=1e-4, atol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_bc4_stacked(x, packed, d, None, 1))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+    # min fold: value = code*d + m (bias 0) == s*d + (8d + m)
+    m0 = jnp.asarray(RNG.standard_normal((L, inn // 32, out)).astype(np.float32) * 0.005)
+    mp = 8.0 * d + m0
+    w1 = codes[1].astype(np.float32) * np.repeat(np.asarray(d)[1], 32, axis=0) \
+        + np.repeat(np.asarray(m0)[1], 32, axis=0)
+    y1_exact = np.asarray(x) @ w1
+    with pltpu.force_tpu_interpret_mode():
+        y1 = np.asarray(qmm.qmm_bc4_stacked(x, packed, d, mp, 1))
+    np.testing.assert_allclose(y1, y1_exact, rtol=1e-4, atol=1e-4)
+
+
+def test_qmm_bc4_stacked_multi_matches_parts():
+    inn, eo, t, L, n = 512, 128, 8, 2, 3
+    codes = RNG.integers(0, 16, size=(L, inn, n * eo))
+    d = jnp.asarray(RNG.standard_normal((L, inn // 32, n * eo)).astype(np.float32) * 0.01)
+    packed = jnp.asarray(qmm.pack_bc4(codes, bias=8))
+    xs = jnp.asarray(RNG.standard_normal((n, t, inn)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        for layer in range(L):
+            y = np.asarray(qmm.qmm_bc4_stacked_multi(
+                xs, packed, d, None, jnp.int32(layer), n))
+            for i in range(n):
+                ref = np.asarray(qmm.qmm_bc4_reference(
+                    xs[i], packed[layer, :, i * eo:(i + 1) * eo],
+                    d[layer, :, i * eo:(i + 1) * eo]))
+                np.testing.assert_allclose(y[:, i * eo:(i + 1) * eo], ref,
+                                           rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_int4bc_forward_matches_int4():
+    """mode='int4bc' produces the SAME weight values as mode='int4' (same
+    codes/scales, different packing) — forward logits must agree to f32
+    tolerance, and q4bc Linears must dispatch through the reference path
+    off-TPU."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    q4, _ = F.forward(quantize_params_device(prm, mode="int4"), cfg,
+                      jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    qbc_params = quantize_params_device(prm, mode="int4bc")
+    kinds = {v.kind for v in qbc_params["layers"].values() if hasattr(v, "kind")}
+    assert "q4bc" in kinds, kinds
+    qbc, _ = F.forward(qbc_params, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(qbc), np.asarray(q4), rtol=2e-5, atol=2e-5)
+
+    # merged rkv path
+    qbcm_params = quantize_params_device(prm, mode="int4bc", merge_rkv=True)
+    qbcm, _ = F.forward(qbcm_params, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    np.testing.assert_allclose(np.asarray(qbcm), np.asarray(qbc), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("g", [64, 128, 256])
 def test_qmm_w4a8_coarse_groups(g):
     """Serving-only coarse-group w4a8 (INT4G64/128/256): each per-group
