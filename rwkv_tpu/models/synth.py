@@ -103,15 +103,21 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                                    fmt="INT5")
             elif quantize.startswith("w4a8"):
                 # uniform packed nibbles (same bytes as int4; unpacked
-                # codes-8 std ~4.6); grouped-integer-dot kind; w4a8gN uses
-                # coarse N-element scale groups (serving-only INT4GN format)
-                g = int(quantize[5:]) if len(quantize) > 4 else 32
+                # codes-8 std ~4.6); grouped-integer-dot kinds: w4a8gN =
+                # half-split layout with coarse N-groups; w4a8bc[256] =
+                # row-pair bitcast layout (kind bc4a8), group 128/256
+                if quantize.startswith("w4a8bc"):
+                    g = int(quantize[6:]) if len(quantize) > 6 else 128
+                    kind = "bc4a8"
+                else:
+                    g = int(quantize[5:]) if len(quantize) > 4 else 32
+                    kind = "w4a8g"
                 fmt = "INT4" if g == 32 else f"INT4G{g}"
                 q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
                                        jnp.int32).astype(jnp.uint8)
                 d = jnp.full((L_, inn // g, out),
                              0.5 / math.sqrt(inn) / 4.6, jnp.bfloat16)
-                layers[k] = Linear(q=q, d=d, m=None, kind="w4a8g", fmt=fmt)
+                layers[k] = Linear(q=q, d=d, m=None, kind=kind, fmt=fmt)
             else:
                 q = jax.random.randint(kq, (L_, inn, out), -127, 128, jnp.int8)
                 # uniform int8 codes have std ~73; d sets w_eff std to 0.5/sqrt(in)

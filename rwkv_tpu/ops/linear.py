@@ -74,7 +74,8 @@ class Linear:
         if self.kind in ("qfast", "w8a8", "s4fast"):  # q is contraction-major (in, out)
             *_, inn, o = self.q.shape
             return (inn, o)
-        if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g", "q4bc"):  # q is (in/2, out) packed nibbles
+        if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g", "q4bc",
+                         "bc4a8"):  # q is (in/2, out) packed nibbles
             *_, inn2, o = self.q.shape
             return (2 * inn2, o)
         return self.w.shape[-2:]
@@ -274,7 +275,7 @@ def _matmul_quant_parity(x, lin: Linear):
 
 
 _KERNEL_KINDS = ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
-                 "q4bc")
+                 "q4bc", "bc4a8")
 
 
 def _pad_rows_to(t):
@@ -421,6 +422,25 @@ def matmul(x, lin: Linear):
         if use_kernel:
             return qmm.qmm_i4(x, lin.q, lin.d, lin.m, bias=b, group=g)
         return qmm.qmm_i4_reference(x, lin.q, lin.d, lin.m, bias=b, group=g)
+    if lin.kind == "bc4a8":
+        # bitcast + grouped s8 integer dots: the DMA-bound 4-bit decode path
+        # (qmm.py bc4a8 section) — INT4G<group> semantics
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        inn, out = lin.shape
+        ok = (out % 128 == 0 and inn % (2 * g) == 0 and (inn // 2) % 8 == 0)
+        if jax.default_backend() == "tpu" and ok:
+            xt, da = qmm.quantize_acts_s8(x)
+            if lin.layer is not None:
+                return qmm.qmm_bc4a8_stacked(xt, lin.q, lin.d, lin.layer,
+                                             group=g) * da
+            if lin.q.ndim == 2:
+                return qmm.qmm_bc4a8_stacked(xt, lin.q[None], lin.d[None], 0,
+                                             group=g) * da
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        return qmm.qmm_bc4a8_reference(x, q, d, group=g)
     if lin.kind == "q4bc":
         # bitcast-unpack 4-bit path: row-pair packed signed nibbles, in-VMEM
         # pltpu.bitcast reinterpret + one hardware convert per element
@@ -482,6 +502,9 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
         return False
     if lin.kind == "w4a8g":
         return qmm.aligned_w4a8(inn, out // n_parts, g)
+    if lin.kind == "bc4a8":
+        eo = out // n_parts
+        return eo % 128 == 0 and inn % (2 * g) == 0 and (inn // 2) % 8 == 0
     if lin.kind in ("q4fast", "q5fast", "q6fast", "q4bc"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
@@ -533,6 +556,14 @@ def matmul_multi(xs: list, lin: Linear):
         y = qmm.qmm_bc4_stacked_multi(
             jnp.stack(x2), lin.q, lin.d, lin.m, lin.layer, n,
             group=group_of(lin.fmt))
+    elif lin.kind == "bc4a8" and use_kernel:
+        qa = [qmm.quantize_acts_s8(x) for x in x2]
+        y = qmm.qmm_bc4a8_stacked_multi(
+            jnp.stack([xt for xt, _ in qa]), lin.q, lin.d, lin.layer, n,
+            group=group_of(lin.fmt))
+        eo = y.shape[-1] // n
+        return [(y[..., i * eo:(i + 1) * eo] * qa[i][1]).reshape(*lead, eo)
+                for i in range(n)]
     elif lin.kind in ("q5fast", "q6fast") and use_kernel:
         b5, hi5 = i5_spec(lin.fmt)
         y = qmm.qmm_i5_stacked_multi(
@@ -566,6 +597,11 @@ def matmul_multi(xs: list, lin: Linear):
             y = jnp.concatenate(
                 [qmm.qmm_i4_reference(x2[i], q[:, i * eo:(i + 1) * eo],
                                       d[:, i * eo:(i + 1) * eo], bias=b, group=g)
+                 for i in range(n)], axis=-1)
+        elif lin.kind == "bc4a8":
+            y = jnp.concatenate(
+                [qmm.qmm_bc4a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                         d[:, i * eo:(i + 1) * eo], group=g)
                  for i in range(n)], axis=-1)
         elif lin.kind == "q4bc":
             m = lin.m if lin.layer is None or lin.m is None else _take_layer(lin.m, lin.layer)
@@ -608,7 +644,7 @@ def stack(lins: list) -> Linear:
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
     packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
-              "w4a8g", "q4bc"}
+              "w4a8g", "q4bc", "bc4a8"}
     if len(kinds) > 1 or (kinds <= packed and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
@@ -728,6 +764,41 @@ def quantize_dense_bc4_device(lin: Linear, group: int = 32) -> Linear:
 
     q, d = _q(lin.w)
     return Linear(q=q, d=d, m=None, kind="q4bc", fmt="INT4")
+
+
+def quantize_dense_bc4a8_device(lin: Linear, group: int = 128) -> Linear:
+    """Dense Linear -> bitcast + grouped-integer-dot 4-bit Linear
+    (kind='bc4a8', fmt='INT4G<group>'). Row-pair packed signed nibbles (the
+    q4bc layout: free in-VMEM bitcast unpack) with per-`group` scales
+    applied exactly to s8xs8 int32 partial sums — the DMA-bound 4-bit
+    decode path (qmm.py bc4a8 section). Coarse groups (128/256) fill the
+    MXU contraction depth; quality = INT4G<group> (a8 activation rounding
+    + per-group 4-bit codes, measurable via ppl_sweep)."""
+    if lin.kind == "bc4a8":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+    while group > 32 and lin.w.shape[-2] % group:
+        group //= 2
+    fmt = "INT4" if group == 32 else f"INT4G{group}"
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        d = (amax / jnp.float32(7.0)).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / df, 0.0)
+        s = jnp.clip(jnp.round(b * inv[..., None, :]), -8, 7)
+        s = (s.astype(jnp.int32) & 15).astype(jnp.uint8).reshape(*lead, inn, o)
+        lo = s[..., 0::2, :]
+        hi = s[..., 1::2, :]
+        return lo | (hi << 4), d
+
+    q, d = _q(lin.w)
+    return Linear(q=q, d=d, m=None, kind="bc4a8", fmt=fmt)
 
 
 def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
@@ -870,6 +941,9 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         "w8a8": quantize_dense_w8a8_device,
         "w4a8": quantize_dense_w4a8_device,
         "int4bc": quantize_dense_bc4_device,
+        # bitcast + grouped s8 dots, the DMA-bound 4-bit path (group 128/256)
+        "w4a8bc": quantize_dense_bc4a8_device,
+        "w4a8bc256": _ft.partial(quantize_dense_bc4a8_device, group=256),
         # coarse-group w4a8 variants: each per-group integer dot contracts
         # K=64/128/256 — filling the MXU's pipelined contraction depth that
         # K=32 group dots leave 4x idle (measured: g=32 w4a8 is SLOWER than
@@ -898,7 +972,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
     for k in keys:
         layers[k] = convert(layers[k])
     if merge_rkv and mode in ("block", "int4", "int4bc", "int5", "w4a8",
-                              "w4a8g64", "w4a8g128", "w4a8g256"):
+                              "w4a8g64", "w4a8g128", "w4a8g256",
+                              "w4a8bc", "w4a8bc256"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
         # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
@@ -911,7 +986,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         parts = [layers.get(k) for k in names]
         want_kind = {"block": "qfast", "int4": "q4fast", "int4bc": "q4bc",
                      "int5": "q5fast", "w4a8": "w4a8g", "w4a8g64": "w4a8g",
-                     "w4a8g128": "w4a8g", "w4a8g256": "w4a8g"}[mode]
+                     "w4a8g128": "w4a8g", "w4a8g256": "w4a8g",
+                     "w4a8bc": "bc4a8", "w4a8bc256": "bc4a8"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on
@@ -945,6 +1021,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
             "w4a8g64": lambda: True,
             "w4a8g128": lambda: True,
             "w4a8g256": lambda: True,
+            "w4a8bc": lambda: True,
+            "w4a8bc256": lambda: True,
         }[hmode]()
         if ok:
             hq = quantizers[hmode](hd)
@@ -964,12 +1042,12 @@ def to_dense_f32(lin: Linear) -> Linear:
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
-                    "q4bc"):
+                    "q4bc", "bc4a8"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
         if lin.kind in ("q4fast", "w4a8g"):
             qp = np.asarray(lin.q).astype(np.int32)
             codes = np.concatenate([qp & 15, qp >> 4], axis=-2) - i4_bias(lin.fmt)
-        elif lin.kind == "q4bc":
+        elif lin.kind in ("q4bc", "bc4a8"):
             qp = np.asarray(lin.q).astype(np.int32)
             lo = ((qp & 15) ^ 8) - 8
             hi = ((qp >> 4) ^ 8) - 8

@@ -1186,6 +1186,180 @@ def qmm_bc4_stacked_multi(xs, q, d, m, layer, n_parts: int, group: int = QK,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xs, q, dm)
 
 
+# ---------------------------------------------------------------------------
+# bc4a8: bitcast-unpack + grouped s8 integer dots — the DMA-bound 4-bit
+# decode path. Combines the two measured wins:
+#   - row-pair bitcast layout: weight unpack = free pltpu.bitcast + ONE
+#     astype(int8) (~1 VPU op/elem, vs ~4.5 for the f32-interior chain that
+#     VPU-binds qmm_i4/* at ~3.5 Tops on v5e regardless of model size);
+#   - coarse scale groups (128/256): each per-group s8 x s8 integer dot
+#     contracts K=group, filling the MXU's 128-deep pipeline that K=32
+#     group dots leave 4x idle; exact scales applied to int32 partial sums
+#     (f32 work = T*out*nb, ~0.06 ops per weight element at decode).
+# Activations are per-row s8 (quantize_acts_s8) — the w8a8-class rounding.
+# Semantics identical to the INT4G<group> w4a8 serving formats.
+# ---------------------------------------------------------------------------
+
+
+def _qmm_bc4a8_stacked_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref, *,
+                              group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = pltpu.bitcast(q_ref[0], jnp.int4).astype(jnp.int8)  # (2*ITp, OT)
+    xt = xt_ref[...]                                        # (2*ITp, TT) s8
+    it, tt = xt.shape
+    ot = w.shape[1]
+    nb = it // group
+    z = jax.lax.dot_general(
+        xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                       # (nb, TT, OT) i32
+    d = d_ref[0].astype(jnp.float32)                        # (nb, OT)
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm_bc4a8_stacked(xt, q, d, layer, group: int = 128,
+                      out_dtype=jnp.float32, tiles=None):
+    """Layer-stacked bitcast + grouped-integer-dot matmul: xt (in, T) int8
+    activations (quantize_acts_s8, contraction-major), q (L, in/2, out)
+    uint8 ROW-PAIR packed signed nibbles (pack_bc4), d (L, in//group, out)
+    f32/bf16 per-group scales. Returns UNSCALED (T, out) f32 — multiply by
+    the caller's per-row activation scale da."""
+    inn, t = xt.shape
+    out = q.shape[2]
+    inn2 = inn // 2
+    if not (out % 128 == 0 and inn % (2 * group) == 0 and inn2 % 8 == 0):
+        raise ValueError(f"bc4a8 kernel needs out % 128 == 0 and in % "
+                         f"{2 * group} == 0, got (in={inn}, out={out})")
+    TT, OT, ITp = _i4_tiles(t, inn, out, group, tiles)
+    while (2 * ITp) % group or (2 * ITp) // group < 8:
+        # scale tile needs >= 8 sublane rows (Pallas block rule); widen ITp
+        if ITp * 2 > inn2:
+            break
+        ITp *= 2
+    dg = 2 * ITp // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((2 * ITp, TT), lambda r, o, i, l: (i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc4a8_stacked_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xt, q, d)
+
+
+def _qmm_bc4a8_stacked_multi_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref,
+                                    acc_ref, *, group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = pltpu.bitcast(q_ref[0], jnp.int4).astype(jnp.int8)
+    xt = xt_ref[0]
+    it, tt = xt.shape
+    ot = w.shape[1]
+    nb = it // group
+    z = jax.lax.dot_general(
+        xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    d = d_ref[0].astype(jnp.float32)
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype",
+                                             "tiles"))
+def qmm_bc4a8_stacked_multi(xts, q, d, layer, n_parts: int, group: int = 128,
+                            out_dtype=jnp.float32, tiles=None):
+    """N projections through one bc4a8 pipeline: xts (N, in, T) int8
+    pre-quantized transposed activations, q (L, in/2, N*Eo) row-pair packed,
+    d (L, in//group, N*Eo). Returns UNSCALED (T, N*Eo) f32; callers split
+    and rescale per part."""
+    n, inn, t = xts.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    inn2 = inn // 2
+    if not (eo % 128 == 0 and inn % (2 * group) == 0 and inn2 % 8 == 0):
+        raise ValueError(f"bc4a8 multi kernel needs eo % 128 == 0 and in % "
+                         f"{2 * group} == 0, got (in={inn}, eo={eo})")
+    TT, OT, ITp = _i4_tiles(t, inn, eo, group, tiles)
+    while (2 * ITp) % group or (2 * ITp) // group < 8:
+        if ITp * 2 > inn2:
+            break
+        ITp *= 2
+    per = eo // OT
+    dg = 2 * ITp // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((1, 2 * ITp, TT),
+                         lambda r, o, i, l, per=per: (o // per, i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc4a8_stacked_multi_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xts, q, d)
+
+
+def qmm_bc4a8_reference(x, q, d, group: int = 128):
+    """jnp reference for the bc4a8 path (CPU-safe): unpack row-pair signed
+    codes, quantize activations per-row to s8, grouped int dots, per-group
+    rescale of partial sums."""
+    xt, da = quantize_acts_s8(x)
+    codes = unpack_bc4(q)                 # (in, out) int32 signed
+    inn, out = codes.shape[-2], codes.shape[-1]
+    nb = inn // group
+    z = jax.lax.dot_general(
+        xt.astype(jnp.int32).reshape(nb, group, -1),
+        codes.reshape(nb, group, out),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    y = jnp.sum(z.astype(jnp.float32) * d.astype(jnp.float32)[:, None, :], axis=0)
+    return y * da
+
+
 def qmm_bc4_reference(x, q, d, m=None, group: int = QK):
     """jnp reference for the row-pair bitcast layout (CPU-safe): unpack to
     signed codes, dequant, dense dot. Same math as the kernel."""

@@ -122,7 +122,8 @@ else:
 t0 = time.time()
 quant = {"int8": "int8", "int5": "int5", "w4a8g": "w4a8",
          "w4a8best": "w4a8", "w4a8g64": "w4a8g64", "w4a8g128": "w4a8g128",
-         "w4a8g256": "w4a8g256", "bc4": "int4bc"}.get(mode.rstrip("mh"), "int4")
+         "w4a8g256": "w4a8g256", "bc4": "int4bc", "w4a8bc": "w4a8bc",
+         "w4a8bc256": "w4a8bc256"}.get(mode.rstrip("mh"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -178,6 +179,10 @@ jax.block_until_ready(jax.tree.leaves(params))
 import os
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 sbf16 = os.environ.get("RWKV_EXP_SBF16") == "1"
+if os.environ.get("RWKV_EXP_TILES"):
+    ot, it = map(int, os.environ["RWKV_EXP_TILES"].split(","))
+    qmm.DECODE_TILES_I4 = (ot, it)
+    print(f"DECODE_TILES_I4 = {(ot, it)}", file=sys.stderr)
 steps, reps = 64, 3
 state = G.batched_init_state(cfg, B)
 tok0 = jnp.zeros((B,), jnp.int32)

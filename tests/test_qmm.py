@@ -560,6 +560,43 @@ def test_quantize_params_int4bc_forward_matches_int4():
     np.testing.assert_allclose(np.asarray(qbcm), np.asarray(qbc), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("g", [128, 256])
+def test_qmm_bc4a8_interpret(g):
+    """bc4a8 (bitcast + grouped s8 dots): kernel must match the grouped jnp
+    reference at both serving group sizes, stacked and multi."""
+    inn, out, t, L = 2048, 256, 8, 2
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    lo = codes[:, 0::2].astype(np.uint8) & 15
+    hi = codes[:, 1::2].astype(np.uint8) & 15
+    packed = jnp.asarray(lo | (hi << 4))
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_bc4a8_reference(x, packed[1], d[1], group=g))
+    xt, da = qmm.quantize_acts_s8(x)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_bc4a8_stacked(xt, packed, d, 1, group=g)) * np.asarray(da)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_params_w4a8bc_forward():
+    """mode='w4a8bc' end-to-end on a real tiny model (merged rkv): bc4a8
+    Linears, logits in the coarse-group 4-bit band vs dense."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    qw = quantize_params_device(prm, mode="w4a8bc", merge_rkv=True)
+    kinds = {v.kind for v in qw["layers"].values() if hasattr(v, "kind")}
+    assert "bc4a8" in kinds, kinds
+    logits_q, _ = F.forward(qw, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q))[0, 1]
+    assert c > 0.97, c
+
+
 @pytest.mark.parametrize("g", [64, 128, 256])
 def test_qmm_w4a8_coarse_groups(g):
     """Serving-only coarse-group w4a8 (INT4G64/128/256): each per-group
