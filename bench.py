@@ -1,10 +1,16 @@
 """Benchmark entry point: prints ONE JSON line with the headline metric.
 
 Headline: decode throughput (tokens/sec/chip) on an RWKV-7 World 1.5B-class
-config (L24 D2048 H32 S64), int4 weight-quantized serving (packed nibbles +
-per-32 scales in HBM, fused dequant-matmul Pallas kernels, emb/head kept
-dense per the reference's quantization policy), batch of 8 independent
-streams, whole decode loop on device (runtime/generate.py).
+config (L24 D2048 H32 S64), int4-class weight-quantized serving: the
+w4a8bc mode — row-pair packed nibbles in HBM (0.5 B/elem), free in-VMEM
+pltpu.bitcast unpack, grouped s8xs8 integer dots with exact per-128
+scales (INT4G128), fused rkv, bf16 wkv-state carry, model-level-autotuned
+decode tiles; emb/head kept dense per the reference's quantization policy.
+Batch of 8 independent streams, whole decode loop on device
+(runtime/generate.py). Quality of the mode is pinned by
+tests/test_tooling.py::test_serving_mode_perplexity_deltas (+3.3%% ppl on
+the tiny oracle model, inside the Q4 band the reference's own headline
+format Q4_0 occupies).
 
 vs_baseline compares against the reference's RWKV-4 1.5B Q4_0 CPU latency
 (76 ms/token -> 13.16 tok/s, README.md:25 / BASELINE.md) — the reference's
@@ -46,10 +52,14 @@ def _step_traffic_bytes(params, cfg, batch):
     )
     emb_bytes = batch * emb.shape[-1] * emb.dtype.itemsize
     if cfg.version_major >= 5:
-        state_elems = cfg.n_layer * (2 * cfg.n_embed + cfg.head_count * cfg.head_size ** 2)
+        heads_elems = cfg.n_layer * cfg.head_count * cfg.head_size ** 2
+        xx_elems = cfg.n_layer * 2 * cfg.n_embed
     else:
-        state_elems = cfg.n_layer * 5 * cfg.n_embed
-    return weight_bytes + emb_bytes + 2 * batch * state_elems * 4
+        heads_elems = 0
+        xx_elems = cfg.n_layer * 5 * cfg.n_embed
+    # bf16 wkv-heads carry (state_bf16 serving): 2 B/elem on the big leaf
+    return (weight_bytes + emb_bytes
+            + 2 * batch * (heads_elems * 2 + xx_elems * 4))
 
 
 def _measure_decode(params, cfg, state, tok0, B, steps, reps, label):
@@ -61,12 +71,14 @@ def _measure_decode(params, cfg, state, tok0, B, steps, reps, label):
     # before execution completes); jax.device_get of the result is the
     # honest barrier.
     t0 = time.time()
-    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+    toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps,
+                              state_bf16=True)
     _ = jax.device_get(toks)
     print(f"{label}: compile+warmup {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     for _i in range(reps):
-        toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps)
+        toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps,
+                                  state_bf16=True)
     _ = jax.device_get(toks)
     dt = (time.time() - t0) / reps
     tps = B * steps / dt
@@ -176,6 +188,7 @@ def main():
     sys.path.insert(0, ".")
     from rwkv_tpu.models import synth
     from rwkv_tpu.ops import linear as L
+    from rwkv_tpu.ops import qmm
     from rwkv_tpu.runtime import generate as G
 
     dev = jax.devices()[0]
@@ -201,6 +214,7 @@ def main():
     steps = 16 if tiny else 64
     reps = 1 if tiny else 3
 
+    qmm.apply_tuned_decode_tiles(cfg.n_embed)
     bf16_tps = _measure_decode(params, cfg, state, tok0, B, steps, reps,
                                "decode bf16 dense")
     q8 = L.quantize_params_device(params, merge_rkv=True)
@@ -208,10 +222,16 @@ def main():
     int8_tps = _measure_decode(q8, cfg, state, tok0, B, steps, reps,
                                "decode int8 (Q8-class serving, fused rkv)")
     del q8
-    q4 = L.quantize_params_device(params, mode="int4", merge_rkv=True)
+    qi4 = L.quantize_params_device(params, mode="int4", merge_rkv=True)
+    jax.block_until_ready(jax.tree.leaves(qi4))
+    int4_tps = _measure_decode(qi4, cfg, state, tok0, B, steps, reps,
+                               "decode int4 per-32 (ggml-band quality, fused rkv)")
+    del qi4
+    q4 = L.quantize_params_device(params, mode="w4a8bc", merge_rkv=True)
     jax.block_until_ready(jax.tree.leaves(q4))
-    decode_tps = _measure_decode(q4, cfg, state, tok0, B, steps, reps,
-                                 "decode int4 (packed-nibble serving, fused rkv)")
+    decode_tps = _measure_decode(
+        q4, cfg, state, tok0, B, steps, reps,
+        "decode int4-class w4a8bc (bitcast grouped-int serving, fused rkv)")
 
     # Everything past here is stderr extras — a failure in any one stage
     # must never cost the headline JSON line (the round record).
@@ -260,8 +280,10 @@ def main():
 
     # speculative decoding (single-stream latency)
     def _spec():
-        draft = L.quantize_params_device(params, mode="int4", merge_rkv=True,
-                                         head="w4a8")
+        # draft = same checkpoint in the fastest 4-bit serving mode; the
+        # head stays dense bf16 (every quantized-head variant measured
+        # slower at 8 logit rows — docs/KERNELS.md)
+        draft = L.quantize_params_device(params, mode="w4a8bc", merge_rkv=True)
         jax.block_until_ready(jax.tree.leaves(draft))
         _bench_speculative(params, cfg, draft)
 
@@ -275,12 +297,16 @@ def main():
             cfg7 = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
         t0 = time.time()
         p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
-                                        quantize="int4")
+                                        quantize="w4a8bc")
         jax.block_until_ready(jax.tree.leaves(p7))
-        print(f"7B-class int4 params built in {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"7B-class w4a8bc params built in {time.time()-t0:.1f}s", file=sys.stderr)
+        qmm.apply_tuned_decode_tiles(cfg7.n_embed)
+        jax.clear_caches()
         state7 = G.batched_init_state(cfg7, B)
         _measure_decode(p7, cfg7, state7, tok0, B, steps, reps,
-                        "decode 7B-class int4")
+                        "decode 7B-class int4-class w4a8bc")
+        qmm.apply_tuned_decode_tiles(cfg.n_embed)
+        jax.clear_caches()
 
     _extra("7B-class decode", _seven_b)
 
@@ -289,7 +315,7 @@ def main():
 
     baseline_tps = 1000.0 / 76.0  # reference RWKV-4 1.5B Q4_0, ms/token -> tok/s
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class int4 packed-nibble serving, batch 8, on-device loop)",
+        "metric": "decode_tokens_per_sec_per_chip (RWKV-7 1.5B-class int4-class packed-nibble serving [w4a8bc INT4G128], batch 8, on-device loop)",
         "value": round(decode_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(decode_tps / baseline_tps, 2),

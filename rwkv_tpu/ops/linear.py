@@ -294,10 +294,11 @@ def matmul(x, lin: Linear):
     (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
     and parity int-dot take f32, so those branches upcast)."""
     if lin.kind in ("quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
-                    "w4a8g", "w8a8"):
+                    "w4a8g", "w8a8", "q4bc", "bc4a8"):
         x = x.astype(jnp.float32)
     if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "q5fast",
-                                   "q6fast", "s4fast", "w4a8g"):
+                                   "q6fast", "s4fast", "w4a8g", "q4bc",
+                                   "bc4a8"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)

@@ -321,6 +321,19 @@ def qmm_reference(x, q, d, m=None, group: int = QK):
 
 DECODE_TILES_I4 = None  # autotuned (OT, IT_packed) override for t <= 256
 
+# Model-level-measured decode-tile winners by model width (v5e, B=8, merged
+# w4a8bc serving; ops/autotune.py re-derives these on other chips). Wide-OT
+# tiles win at 7B width (contiguous weight-row DMA); square 1M tiles win at
+# 1.5B. Applied by apply_tuned_decode_tiles (bench.py / serving boot).
+TUNED_DECODE_TILES_I4 = {2048: (2048, 512), 4096: (4096, 256)}
+
+
+def apply_tuned_decode_tiles(n_embed: int) -> None:
+    """Set DECODE_TILES_I4 from the measured per-width winners (no-op for
+    unmeasured widths — the shape-generic default heuristic applies)."""
+    global DECODE_TILES_I4
+    DECODE_TILES_I4 = TUNED_DECODE_TILES_I4.get(n_embed, DECODE_TILES_I4)
+
 # In-kernel dequant compute dtype. MEASURED (v5e decode, 1.5B B=8): bf16
 # interior is SLOWER than f32 (3.52 vs 3.01 ms/step) — the extra
 # f32->bf16/u8->bf16 converts outweigh the halved multiply width, and the
