@@ -105,7 +105,7 @@ def _bench_serving(ctx_params, cfg):
     ctx.model_path = "<synthetic>"
 
     B = 32
-    srv = Server(ctx, max_streams=B, seed=0)
+    srv = Server(ctx, max_streams=B, seed=0, state_bf16=True)
     scfg = StreamConfig(temperature=1.0, top_p=0.9, presence_penalty=0.4,
                         frequency_penalty=0.4, max_new_tokens=10**9,
                         stop_token=None)
@@ -176,7 +176,7 @@ def _bench_speculative(params, cfg, draft):
     cnts = jax.device_get(cnts)
     accept = (float(cnts.mean()) - 1.0) / k
     tps = tot / reps / dt
-    print(f"speculative decode B=1 (int4/w4a8-head self-draft, k={k}): "
+    print(f"speculative decode B=1 (int8 self-draft, k={k}): "
           f"{tps:.1f} tok/s, accept={accept:.2f}, x{tps/base:.2f} vs plain "
           f"bf16 greedy", file=sys.stderr)
 
@@ -280,10 +280,15 @@ def main():
 
     # speculative decoding (single-stream latency)
     def _spec():
-        # draft = same checkpoint in the fastest 4-bit serving mode; the
-        # head stays dense bf16 (every quantized-head variant measured
-        # slower at 8 logit rows — docs/KERNELS.md)
-        draft = L.quantize_params_device(params, mode="w4a8bc", merge_rkv=True)
+        # draft = same checkpoint int8-quantized. On SYNTHETIC random
+        # weights the logits are near-chance, so a 4-bit draft's top-1
+        # flips vs the bf16 target and accept collapses (measured 0.02) —
+        # an artifact of random weights, not the spec machinery (real
+        # tiny-model drafts accept at 0.85-1.0, tests/test_speculative).
+        # int8 (corr > 0.999 even on random weights) keeps the benchmark
+        # meaningful; the head stays dense bf16 (every quantized-head
+        # variant measured slower at 8 logit rows — docs/KERNELS.md).
+        draft = L.quantize_params_device(params, merge_rkv=True)
         jax.block_until_ready(jax.tree.leaves(draft))
         _bench_speculative(params, cfg, draft)
 
