@@ -42,10 +42,11 @@ def _use_pallas(explicit) -> bool:
     return explicit is True
 
 
-def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
+def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None, io_bf16=False):
     """r.. (T, H, S) with valid (T,), or batched (B, T, H, S) with (B, T).
     lw = log(w) when the caller has it for free (saves the fused kernel's
-    transcendentals)."""
+    transcendentals). io_bf16 relayouts the chunk operands in bf16
+    (serving mode only — see ops/wkv_chunked.py)."""
     on_tpu = jax.default_backend() == "tpu"
     if r.ndim == 4:
         if _use_pallas(pallas) and r.shape[1] >= 16 and on_tpu:
@@ -58,7 +59,8 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
         if r.shape[1] >= 16:
             from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_batched
 
-            return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid, lw=lw)
+            return wkv7_chunked_batched(r, w, k, v, a, b, heads, valid, lw=lw,
+                                        io_bf16=io_bf16)
         return wkv_ops.wkv7_batched(r, w, k, v, a, b, heads, valid)
     if r.shape[0] >= 16:
         # single-stream prefill: chunk-parallel form (MXU matmuls per chunk);
@@ -75,6 +77,8 @@ def _wkv7(r, w, k, v, a, b, heads, valid, pallas, lw=None):
         from rwkv_tpu.ops.wkv_chunked import wkv7_chunked_masked
 
         return wkv7_chunked_masked(r, w, k, v, a, b, heads, valid, lw=lw)
+    # (single-stream masked path keeps f32 relayouts — it is not the
+    # serving prefill hot path and shares wkv7_chunked with parity tests)
     return wkv_ops.wkv7(r, w, k, v, a, b, heads, valid)
 
 
@@ -111,9 +115,10 @@ def _wkv56_step_dispatch(r, k, v, tf, w, heads):
     return wkv_ops.wkv56_step(r, k, v, tf, w, heads)
 
 
-def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
+def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None, io_bf16=False):
     """lw = log(w) when the caller has it for free (v6's pre-exp decay, or
-    one log of v5's tiny constant-decay vector) — the fused kernel's input."""
+    one log of v5's tiny constant-decay vector) — the fused kernel's input.
+    io_bf16: bf16 chunk relayouts (serving mode, ops/wkv_chunked.py)."""
     on_tpu = jax.default_backend() == "tpu"
     if r.ndim == 4:
         if _use_pallas(pallas) and r.shape[1] >= 16 and on_tpu:
@@ -126,7 +131,8 @@ def _wkv56(r, k, v, tf, w, heads, valid, pallas, lw=None):
         if r.shape[1] >= 16:
             from rwkv_tpu.ops.wkv_chunked import wkv6_chunked_batched
 
-            return wkv6_chunked_batched(r, k, v, tf, w, heads, valid, lw=lw)
+            return wkv6_chunked_batched(r, k, v, tf, w, heads, valid, lw=lw,
+                                        io_bf16=io_bf16)
         return wkv_ops.wkv56_batched(r, k, v, tf, w, heads, valid)
     if r.shape[0] >= 16:
         if _use_pallas(pallas) and on_tpu:
@@ -306,7 +312,8 @@ def _att_v5(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
         # one log over the (H, S) constant-decay vector, broadcast lazily —
         # the fused kernel's log-decay input for free
         lw = jnp.broadcast_to(jnp.log(lp["time_decay"]), r.shape)
-        out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas, lw=lw)
+        out, heads = _wkv56(r, k, v, lp["time_first"], w, heads, valid, pallas,
+                            lw=lw, io_bf16=x_ln.dtype == jnp.bfloat16)
     x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 1e-5)
     if g is not None:
         x = x * g
@@ -341,7 +348,8 @@ def _att_v6(lp, x_ln, x_prev, heads, valid, cfg: ModelConfig, pallas=None, step=
         out, heads = _wkv56_step_dispatch(r, k, v, lp["time_first"], _heads(w, H, S), heads)
     else:
         out, heads = _wkv56(r, k, v, lp["time_first"], _heads(w, H, S), heads, valid,
-                            pallas, lw=_heads(lw, H, S))
+                            pallas, lw=_heads(lw, H, S),
+                            io_bf16=x_ln.dtype == jnp.bfloat16)
     x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     x = x * g
     return matmul(x, lp["att_o"]), heads
@@ -379,7 +387,8 @@ def _att_v7(lp, x_ln, x_prev, heads, v_first, layer_idx, valid, cfg: ModelConfig
         out, heads = _wkv7_step_dispatch(rh, wh, kh, vh, -kk, kk * ah, heads)
     else:
         out, heads = _wkv7(rh, wh, kh, vh, -kk, kk * ah, heads, valid, pallas,
-                           lw=_heads(lw, H, S))
+                           lw=_heads(lw, H, S),
+                           io_bf16=x_ln.dtype == jnp.bfloat16)
 
     x = group_norm_heads(out.reshape(*out.shape[:-2], H * S), lp["ln_x_w"], lp["ln_x_b"], H, 64e-5)
     # bonus: v * sum_per_head(k * r * r_k) (rwkv_graph.inc:472-477)

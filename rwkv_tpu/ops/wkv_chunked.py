@@ -43,6 +43,26 @@ import jax.numpy as jnp
 # (Lam^-1 <= e^{0.6065*C} = e^38.8); v6 is safe at any C (clipped pairwise).
 CHUNK = 32
 
+# v7-specific chunk length. The v7 decay is bounded below (w >= 0.545), so
+# the WY-factored form stays in f32 range up to C=128 (Lam^-1 <= e^77.6,
+# validated against the sequential scan incl. floor-decay + 4-sigma-k
+# adversarial inputs: rel err 4e-5, finite). Bigger chunks quarter the
+# chunk-scan length and grow the per-chunk dots to MXU-friendly (128, 64)
+# shapes: measured +11% end-to-end v7 prefill at B=8 T=512 on v5e vs C=32.
+# (v6/v5 keep CHUNK=32: their clipped-pairwise decay tensor is O(C^2).)
+CHUNK_V7 = 128
+
+
+def _v7_chunk(chunk, T):
+    """Resolve the v7 chunk length: default CHUNK_V7, clamped to the next
+    power of two >= T so short sequences don't pad 5x."""
+    if chunk is not None:
+        return chunk
+    c = 16
+    while c < T and c < CHUNK_V7:
+        c *= 2
+    return c
+
 
 def _neumann_inv(m):
     """(I - M)^{-1} for strictly upper-triangular M: (..., C, C)."""
@@ -120,18 +140,26 @@ def _chunks_hm(x, chunk):
     return x.reshape(n, chunk, H, S).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def wkv7_chunked(r, w, k, v, a, b, state, chunk: int | None = None, lw=None):
+@functools.partial(jax.jit, static_argnames=("chunk", "io_bf16"))
+def wkv7_chunked(r, w, k, v, a, b, state, chunk: int | None = None, lw=None,
+                 io_bf16: bool = False):
     """Chunk-parallel wkv7: r/w/k/v/a/b (T, H, S) f32, state (H, S, S).
     T must be a multiple of `chunk` (callers pad; padding with w=1 and
     k=v=a=b=0 is an exact no-op on the state). Pass lw = log(w) when the
-    caller already has it (forward.py does — w itself is then unused)."""
-    chunk = CHUNK if chunk is None else chunk
+    caller already has it (forward.py does — w itself is then unused).
+
+    io_bf16=True relayouts r/k/v/a/b in bf16 (the log-decay stays f32):
+    the chunk transposes are the largest non-MXU term of the prefill
+    profile, the operand values are O(1), and the MXU dots round operands
+    to bf16 at DEFAULT precision anyway — serving mode opts in
+    (forward.py), parity keeps pure f32."""
     T, H, S = r.shape
+    chunk = _v7_chunk(chunk, T)
     assert T % chunk == 0, f"T={T} not a multiple of chunk={chunk}"
     lw = jnp.log(w) if lw is None else lw
-    xs = tuple(_chunks_hm(x.astype(jnp.float32), chunk)
-               for x in (r, lw, k, v, a, b))
+    dt = jnp.bfloat16 if io_bf16 else jnp.float32
+    xs = tuple(_chunks_hm(x.astype(jnp.float32 if i == 1 else dt), chunk)
+               for i, x in enumerate((r, lw, k, v, a, b)))
     state, out = jax.lax.scan(_chunk_step, state.astype(jnp.float32), xs)
     return out.transpose(0, 2, 1, 3).reshape(T, H, S), state
 
@@ -258,32 +286,37 @@ def _unfold_bh(out, B, T, H, S):
 
 
 def wkv7_chunked_batched(r, w, k, v, a, b, state, valid, chunk: int | None = None,
-                         lw=None):
+                         lw=None, io_bf16: bool = False):
     """Natively batched chunked wkv7: fold (B, H) into the head axis so the
     whole batch runs as ONE chunked scan (no vmap — a vmapped kernel would
     re-batch every internal matmul). Shapes: r.. (B, T, H, S);
-    state (B, H, Sv, Sk); valid (B, T). lw = log(w) if the caller has it."""
-    chunk = CHUNK if chunk is None else chunk
+    state (B, H, Sv, Sk); valid (B, T). lw = log(w) if the caller has it.
+    io_bf16: see wkv7_chunked."""
     B, T, H, S = r.shape
+    chunk = _v7_chunk(chunk, T)
     lw = jnp.log(w) if lw is None else lw
-    xs = tuple(_fold_bh(x.astype(jnp.float32), f, valid, chunk)
-               for x, f in ((r, 0.0), (lw, 0.0), (k, 0.0), (v, 0.0),
-                            (a, 0.0), (b, 0.0)))
+    dt = jnp.bfloat16 if io_bf16 else jnp.float32
+    xs = tuple(_fold_bh(x.astype(jnp.float32 if i == 1 else dt), f, valid, chunk)
+               for i, (x, f) in enumerate(((r, 0.0), (lw, 0.0), (k, 0.0),
+                                           (v, 0.0), (a, 0.0), (b, 0.0))))
     st, out = jax.lax.scan(_chunk_step,
                            state.reshape(B * H, S, S).astype(jnp.float32), xs)
     return _unfold_bh(out, B, T, H, S), st.reshape(B, H, S, S)
 
 
 def wkv6_chunked_batched(r, k, v, tf, w, state, valid, chunk: int | None = None,
-                         lw=None):
+                         lw=None, io_bf16: bool = False):
     """Batched chunked wkv6/wkv5 via (B, H) folding; tf (H, S) broadcasts
-    across streams. state (B, H, Sk, Sv); valid (B, T)."""
+    across streams. state (B, H, Sk, Sv); valid (B, T). io_bf16: see
+    wkv7_chunked (r/k/v relayout in bf16; log-decay stays f32)."""
     chunk = CHUNK if chunk is None else chunk
     B, T, H, S = r.shape
     tf_b = jnp.broadcast_to(tf, (B, H, S)).reshape(B * H, S)
     lw = jnp.log(w) if lw is None else lw
-    xs = tuple(_fold_bh(x.astype(jnp.float32), f, valid, chunk)
-               for x, f in ((r, 0.0), (k, 0.0), (v, 0.0), (lw, 0.0)))
+    dt = jnp.bfloat16 if io_bf16 else jnp.float32
+    xs = tuple(_fold_bh(x.astype(jnp.float32 if i == 3 else dt), f, valid, chunk)
+               for i, (x, f) in enumerate(((r, 0.0), (k, 0.0), (v, 0.0),
+                                           (lw, 0.0))))
     (st, _), out = jax.lax.scan(
         _chunk6_step,
         (state.reshape(B * H, S, S).astype(jnp.float32), tf_b.astype(jnp.float32)),
@@ -390,8 +423,8 @@ def wkv7_chunked_masked(r, w, k, v, a, b, state, valid, chunk: int | None = None
                         lw=None):
     """Padding-safe wrapper with the same signature as ops/wkv.py::wkv7.
     Pads T up to a chunk multiple internally."""
-    chunk = CHUNK if chunk is None else chunk
     T, H, S = r.shape
+    chunk = _v7_chunk(chunk, T)
     Tp = ((T + chunk - 1) // chunk) * chunk
     pad = Tp - T
 

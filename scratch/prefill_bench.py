@@ -13,10 +13,15 @@ if "--trace" in sys.argv:
     trace_dir = sys.argv[sys.argv.index("--trace") + 1]
 f32 = "--f32" in sys.argv
 
+import os
 import jax, jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from rwkv_tpu.models import synth
 from rwkv_tpu.runtime import generate as G
+if os.environ.get("RWKV_EXP_CHUNK"):
+    from rwkv_tpu.ops import wkv_chunked
+    wkv_chunked.CHUNK = int(os.environ["RWKV_EXP_CHUNK"])
+    print(f"CHUNK = {wkv_chunked.CHUNK}", file=sys.stderr)
 
 cfg = synth.make_config(ver, n_vocab=65536, n_embed=2048, n_layer=24)
 t0 = time.time()
