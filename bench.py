@@ -125,13 +125,21 @@ def _bench_serving(ctx_params, cfg):
     print(f"serving steady-state: {n/dt:.1f} tok/s "
           f"(B={B} sampled streams, penalties, window 16)", file=sys.stderr)
 
-    # join-to-first-token: evict one stream, time a fresh 512-token join
-    victim = next(iter(srv._by_slot.values()))
-    srv._finish(victim)
+    # join-to-first-token: evict a stream, time a fresh 512-token join.
+    # One untimed multi-block join first: short prompts only ever compile
+    # forward_chunks' compute_logits=True variant, so the first long join
+    # pays the logits-skipped variant's XLA compile (~2.5 s) exactly once
+    # per process — a warmup concern, not a steady-state cost.
     prompt = rng.integers(0, cfg.n_vocab, size=512).tolist()
-    t0 = time.time()
-    srv.add(prompt, scfg)  # prefill (chunked) + first sampled token
-    join_ms = 1000 * (time.time() - t0)
+    for timed in (False, True):
+        victim = next(iter(srv._by_slot.values()))
+        srv._finish(victim)
+        t0 = time.time()
+        srv.add(prompt, scfg)  # prefill (chunked) + first sampled token
+        join_ms = 1000 * (time.time() - t0)
+        if not timed:
+            print(f"serving join warmup (incl. one-time chunk-variant "
+                  f"compile): {join_ms:.0f} ms", file=sys.stderr)
     print(f"serving join-to-first-token (512-token prompt, warm): "
           f"{join_ms:.0f} ms", file=sys.stderr)
     return n / dt, join_ms
