@@ -250,18 +250,20 @@ def main():
             print(f"{label} skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     def _large_batch():
-        B32 = 32
-        state32 = G.batched_init_state(cfg, B32)
-        tok32 = jnp.zeros((B32,), jnp.int32)
-        toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
-        _ = jax.device_get(toks)
-        t0 = time.time()
-        for _i in range(reps):
-            toks, _ = G.greedy_decode(q4, cfg, tok32, state32, steps=steps)
-        _ = jax.device_get(toks)
-        dt32 = (time.time() - t0) / reps
-        print(f"decode int4 batch 32: {B32*steps/dt32:.1f} tok/s "
-              f"({1000*dt32/steps:.2f} ms/step)", file=sys.stderr)
+        for BL in (32, 128):
+            stateL = G.batched_init_state(cfg, BL)
+            tokL = jnp.zeros((BL,), jnp.int32)
+            toks, _ = G.greedy_decode(q4, cfg, tokL, stateL, steps=steps,
+                                      state_bf16=True)
+            _ = jax.device_get(toks)
+            t0 = time.time()
+            for _i in range(reps):
+                toks, _ = G.greedy_decode(q4, cfg, tokL, stateL, steps=steps,
+                                          state_bf16=True)
+            _ = jax.device_get(toks)
+            dtL = (time.time() - t0) / reps
+            print(f"decode w4a8bc batch {BL}: {BL*steps/dtL:.1f} tok/s "
+                  f"({1000*dtL/steps:.2f} ms/step)", file=sys.stderr)
 
     _extra("large-batch decode", _large_batch)
 

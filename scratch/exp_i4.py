@@ -123,7 +123,8 @@ t0 = time.time()
 quant = {"int8": "int8", "int5": "int5", "w4a8g": "w4a8",
          "w4a8best": "w4a8", "w4a8g64": "w4a8g64", "w4a8g128": "w4a8g128",
          "w4a8g256": "w4a8g256", "bc4": "int4bc", "w4a8bc": "w4a8bc",
-         "w4a8bc256": "w4a8bc256"}.get(mode.rstrip("mh"), "int4")
+         "w4a8bc256": "w4a8bc256", "w4a8bcha": "w4a8bc"}.get(
+             "w4a8bcha" if mode == "w4a8bcha" else mode.rstrip("mh"), "int4")
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"), quantize=quant)
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
@@ -156,9 +157,12 @@ if mode in ("w8a8head", "w4a8head", "w4a8best"):
           "w4a8head": L.quantize_dense_w4a8_device,
           "w4a8best": L.quantize_dense_w4a8_device}[mode]
     params["head"] = qh(params["head"])
-if mode == "bc4h":
+if mode in ("bc4h", "w4a8bch"):
     params = dict(params)
     params["head"] = L.quantize_dense_bc4_device(params["head"])
+if mode == "w4a8bcha":  # w4a8bc blocks + grouped-int (bc4a8) head
+    params = dict(params)
+    params["head"] = L.quantize_dense_bc4a8_device(params["head"])
 if mode.startswith("w4a8g") and mode.endswith("h"):
     # w4a8gNh: coarse-group blocks + same-mode head
     import functools
@@ -179,6 +183,12 @@ jax.block_until_ready(jax.tree.leaves(params))
 import os
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 sbf16 = os.environ.get("RWKV_EXP_SBF16") == "1"
+if os.environ.get("RWKV_EXP_HB"):
+    from rwkv_tpu.ops import pallas_wkv
+    hb = int(os.environ["RWKV_EXP_HB"])
+    pallas_wkv.wkv7_step_batched.__defaults__ = (hb,)
+    pallas_wkv.wkv56_step_batched.__defaults__ = (hb,)
+    print(f"step-kernel head_block = {hb}", file=sys.stderr)
 if os.environ.get("RWKV_EXP_TILES"):
     ot, it = map(int, os.environ["RWKV_EXP_TILES"].split(","))
     qmm.DECODE_TILES_I4 = (ot, it)
