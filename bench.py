@@ -5,7 +5,8 @@ config (L24 D2048 H32 S64), int4-class weight-quantized serving: the
 w4a8bc mode — row-pair packed nibbles in HBM (0.5 B/elem), free in-VMEM
 pltpu.bitcast unpack, grouped s8xs8 integer dots with exact per-128
 scales (INT4G128), fused rkv, bf16 wkv-state carry, model-level-autotuned
-decode tiles; emb/head kept dense per the reference's quantization policy.
+decode tiles; emb/head kept dense per the reference's quantization policy
+(the 7B extra stage quantizes its 537 MB head — measured win at that width).
 Batch of 8 independent streams, whole decode loop on device
 (runtime/generate.py). Quality of the mode is pinned by
 tests/test_tooling.py::test_serving_mode_perplexity_deltas (+3.3%% ppl on
@@ -313,13 +314,19 @@ def main():
         t0 = time.time()
         p7 = synth.random_params_device(cfg7, dtype=np.dtype("bfloat16"),
                                         quantize="w4a8bc")
+        # at 7B width the head (537 MB bf16) is worth quantizing: bc4 head
+        # measured +4.6% (8.95 vs 9.37 ms/step); at 1.5B every quantized
+        # head LOSES at 8 logit rows (docs/KERNELS.md)
+        p7 = dict(p7)
+        p7["head"] = L.quantize_dense_bc4_device(p7["head"])
         jax.block_until_ready(jax.tree.leaves(p7))
-        print(f"7B-class w4a8bc params built in {time.time()-t0:.1f}s", file=sys.stderr)
+        print(f"7B-class w4a8bc(+bc4 head) params built in {time.time()-t0:.1f}s",
+              file=sys.stderr)
         qmm.apply_tuned_decode_tiles(cfg7.n_embed)
         jax.clear_caches()
         state7 = G.batched_init_state(cfg7, B)
         _measure_decode(p7, cfg7, state7, tok0, B, steps, reps,
-                        "decode 7B-class int4-class w4a8bc")
+                        "decode 7B-class int4-class w4a8bc (bc4 head)")
         qmm.apply_tuned_decode_tiles(cfg.n_embed)
         jax.clear_caches()
 

@@ -131,15 +131,9 @@ class _Source:
         if self.nf and not parity and ty not in ("FP32", "FP16"):
             q, d, m = self.nf.to_codes(key)  # row-major (out, in)/(out, nb)
             if L.i4_packable(ty):
-                from rwkv_tpu.ops import qmm
-
-                return L.Linear(
-                    q=qmm.pack_i4(q.T, bias=L.i4_bias(ty)),
-                    d=np.ascontiguousarray(d.T),
-                    m=None if m is None else np.ascontiguousarray(m.T),
-                    kind="q4fast",
-                    fmt=ty,
-                )
+                # bitcast serving layout — see linear.bc4_from_value_codes
+                return L.bc4_from_value_codes(
+                    q.T, d.T, None if m is None else m.T, ty)
             if L.i5_packable(ty):
                 from rwkv_tpu.ops import qmm
 

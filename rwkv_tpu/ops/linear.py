@@ -134,6 +134,37 @@ def i4_packable(fmt: str) -> bool:
     return fmt in _I4_BIAS
 
 
+# 4-bit-class file formats whose VALUE-codes (value = q*d + m) sit in
+# [0, 15] and need the -8 shift into two's-complement s4 (the shift folds
+# into the min plane: m' = m + 8d). Every other _I4_BIAS format's codes
+# already fit [-8, 7] and pack directly.
+_BC4_SHIFT = {"Q4_1": 8, "Q4_K": 8}
+
+
+def bc4_from_value_codes(q, d, m, fmt: str) -> Linear:
+    """Build a bitcast-layout (kind='q4bc') Linear from decoded value-codes:
+    q (in, out) ints with value = q*d (+ m), d/m (in/group, out). The
+    serving layout for every 4-bit-class FILE format — same bus bytes as
+    the half-split q4fast layout, unpacked in-kernel by a free
+    pltpu.bitcast instead of the widen/mask/shift/sub VPU chain
+    (docs/KERNELS.md, round-4 campaign)."""
+    from rwkv_tpu.ops import qmm
+
+    sh = _BC4_SHIFT.get(fmt, 0)
+    s = np.asarray(q).astype(np.int32) - sh
+    qp = qmm.pack_bc4_signed(s)
+    if sh:
+        base = np.zeros_like(d) if m is None else np.asarray(m, d.dtype)
+        m = np.ascontiguousarray(base + sh * np.asarray(d))
+    return Linear(
+        q=qp,
+        d=np.ascontiguousarray(d),
+        m=None if m is None else np.ascontiguousarray(m),
+        kind="q4bc",
+        fmt=fmt,
+    )
+
+
 def i5_spec(fmt: str):
     """(bias, hi_bits) of a 5/6-bit packable format."""
     bias, hi, _ = _I5_SPEC[fmt]
@@ -194,14 +225,13 @@ def from_record(rec, parity: bool, dense_dtype=None) -> Linear:
         # (Q4_0 smaller AND faster than Q8_0, README.md:25-31).
         fmt = rec.type_name
         if i4_packable(fmt):
-            from rwkv_tpu.ops import qmm
-
-            return Linear(
-                q=qmm.pack_i4(q.reshape(out, inn).T, bias=i4_bias(fmt)),
-                d=np.ascontiguousarray(d.reshape(out, nb).T),
-                m=None if m is None else np.ascontiguousarray(m.reshape(out, nb).T),
-                kind="q4fast",
-                fmt=fmt,
+            # bitcast layout (q4bc): same 0.5 B/elem, in-kernel unpack is a
+            # free reinterpret instead of the half-split VPU chain
+            return bc4_from_value_codes(
+                q.reshape(out, inn).T,
+                d.reshape(out, nb).T,
+                None if m is None else m.reshape(out, nb).T,
+                fmt,
             )
         if i5_packable(fmt):
             from rwkv_tpu.ops import qmm

@@ -1036,6 +1036,20 @@ def pack_bc4(codes, bias: int = 8):
     return lo | (hi << 4)
 
 
+def pack_bc4_signed(codes):
+    """Signed codes (..., in, out) in [-8, 7] -> (..., in/2, out) uint8
+    row-pair packed two's-complement nibbles. numpy in, numpy out."""
+    import numpy as np
+
+    s = np.asarray(codes).astype(np.int32)
+    if s.min() < -8 or s.max() > 7:
+        raise ValueError(f"codes outside [-8,7]: [{s.min()}, {s.max()}]")
+    s = s & 15
+    lo = s[..., 0::2, :].astype(np.uint8)
+    hi = s[..., 1::2, :].astype(np.uint8)
+    return lo | (hi << 4)
+
+
 def unpack_bc4(qp):
     """(..., in/2, out) uint8 row-pair packed -> (..., in, out) int32 signed
     codes [-8, 7] (jnp; CPU-safe reference unpack)."""

@@ -22,9 +22,10 @@ def test_qmm_matches_dense_dequant(fmt, t):
     w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
     rec = make_record("w", w, fmt)
     lin = from_record(rec, parity=False)
-    # every format serves at its own bit-width: 4-bit packs 2 codes/byte,
-    # 5-bit nibbles + a bit plane, 8-bit as int8 codes
-    expect_kind = {"Q4_0": "q4fast", "Q4_1": "q4fast", "Q5_0": "q5fast",
+    # every format serves at its own bit-width: 4-bit packs 2 codes/byte
+    # (bitcast row-pair layout since round 4), 5-bit nibbles + a bit plane,
+    # 8-bit as int8 codes
+    expect_kind = {"Q4_0": "q4bc", "Q4_1": "q4bc", "Q5_0": "q5fast",
                    "Q5_1": "q5fast", "Q8_0": "qfast"}[fmt]
     assert lin.kind == expect_kind
     x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
@@ -36,14 +37,12 @@ def test_qmm_matches_dense_dequant(fmt, t):
     q = jnp.asarray(lin.q)
     d = jnp.asarray(lin.d)
     m = None if lin.m is None else jnp.asarray(lin.m)
-    if lin.kind == "q4fast":
-        from rwkv_tpu.ops.linear import i4_bias
-
-        b = i4_bias(fmt)
-        y_jnp = qmm.qmm_i4_reference(x, q, d, m, bias=b)
+    if lin.kind == "q4bc":
+        y_jnp = qmm.qmm_bc4_reference(x, q, d, m)
         np.testing.assert_allclose(y_jnp, y_ref, atol=1e-4, rtol=1e-5)
         with pltpu.force_tpu_interpret_mode():
-            y_pl = qmm.qmm_i4(x, q, d, m, bias=b, compute=jnp.float32)
+            y_pl = qmm.qmm_bc4_stacked(x, q[None], d[None],
+                                       None if m is None else m[None], 0)
     elif lin.kind == "q5fast":
         from rwkv_tpu.ops.linear import i5_spec
 
@@ -132,9 +131,9 @@ def test_qmm_group16_kernel(with_min):
 
 @pytest.mark.parametrize("fmt", ["Q2_K", "Q3_K"])
 def test_q2_q3_from_record_packs(fmt):
-    """Q2_K/Q3_K codes fit an unsigned nibble, so they serve sub-byte too:
-    from_record gives q4fast (0.5 B/elem, group-16 scales) whose matmul
-    matches exact dequantization."""
+    """Q2_K/Q3_K codes fit a signed nibble, so they serve sub-byte too:
+    from_record gives q4bc (0.5 B/elem, group-16 scales, bitcast layout)
+    whose matmul matches exact dequantization."""
     from rwkv_tpu.formats import quant as qc_
     from rwkv_tpu.ops.linear import group_of
 
@@ -142,7 +141,7 @@ def test_q2_q3_from_record_packs(fmt):
     w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
     rec = make_record("w", w, fmt)
     lin = from_record(rec, parity=False)
-    assert lin.kind == "q4fast" and group_of(fmt) == 16
+    assert lin.kind == "q4bc" and group_of(fmt) == 16
     assert (lin.m is not None) == (fmt == "Q2_K")
     assert lin.q.size == inn * out // 2
     x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
@@ -151,9 +150,9 @@ def test_q2_q3_from_record_packs(fmt):
     np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ dense,
                                atol=1e-4, rtol=1e-4)
     with pltpu.force_tpu_interpret_mode():
-        y_pl = qmm.qmm_i4(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                          None if lin.m is None else jnp.asarray(lin.m),
-                          bias=i4_bias(fmt), group=16, compute=jnp.float32)
+        y_pl = qmm.qmm_bc4_stacked(
+            x, jnp.asarray(lin.q)[None], jnp.asarray(lin.d)[None],
+            None if lin.m is None else jnp.asarray(lin.m)[None], 0, group=16)
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(x) @ dense,
                                atol=1e-4, rtol=1e-4)
 
@@ -164,18 +163,20 @@ def test_q2_q3_from_record_packs(fmt):
 
 def test_q4k_from_record_packs():
     """Q4_K (4-bit codes + per-32 min) also serves packed: from_record gives
-    q4fast with bias 0, and the packed matmul matches exact dequantization."""
+    q4bc with the -8 code shift folded into the min plane (m' = m + 8d), and
+    the packed matmul matches exact dequantization."""
     out, inn = 128, 512
     w = RNG.standard_normal((out, inn)).astype(np.float32) * 0.3
     lin = from_record(make_record("w", w, "Q4_K"), parity=False)
-    assert lin.kind == "q4fast" and lin.m is not None
+    assert lin.kind == "q4bc" and lin.m is not None
     x = jnp.asarray(RNG.standard_normal((4, inn)).astype(np.float32))
     y = matmul(x, lin)
     y_ref = np.asarray(x) @ np.asarray(to_dense_f32(lin).w)
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-4, rtol=1e-4)
     with pltpu.force_tpu_interpret_mode():
-        y_pl = qmm.qmm_i4(x, jnp.asarray(lin.q), jnp.asarray(lin.d),
-                          jnp.asarray(lin.m), bias=0, compute=jnp.float32)
+        y_pl = qmm.qmm_bc4_stacked(x, jnp.asarray(lin.q)[None],
+                                   jnp.asarray(lin.d)[None],
+                                   jnp.asarray(lin.m)[None], 0)
     np.testing.assert_allclose(np.asarray(y_pl), y_ref, atol=1e-4, rtol=1e-4)
 
 
