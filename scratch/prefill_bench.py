@@ -21,7 +21,25 @@ from rwkv_tpu.runtime import generate as G
 if os.environ.get("RWKV_EXP_CHUNK"):
     from rwkv_tpu.ops import wkv_chunked
     wkv_chunked.CHUNK = int(os.environ["RWKV_EXP_CHUNK"])
+    wkv_chunked.CHUNK_V7 = wkv_chunked.CHUNK
     print(f"CHUNK = {wkv_chunked.CHUNK}", file=sys.stderr)
+PALLAS = os.environ.get("RWKV_EXP_PALLAS") == "1"
+if PALLAS:
+    from rwkv_tpu.models import forward as fwd_mod
+    from rwkv_tpu.ops import pallas_wkv
+    if os.environ.get("RWKV_EXP_PCHUNK"):
+        pc = int(os.environ["RWKV_EXP_PCHUNK"])
+        phb = int(os.environ.get("RWKV_EXP_PHB", 8))
+        pallas_wkv.wkv7_chunked_pallas.__defaults__ = (pc, phb)
+        pallas_wkv.wkv7_chunked_pallas_batched.__defaults__ = (pc, phb)
+        print(f"pallas chunk = {pc}, head_block = {phb}", file=sys.stderr)
+    _orig_fb = fwd_mod.forward_batch
+    def _fb(*a, **kw):
+        kw["pallas"] = True
+        return _orig_fb(*a, **kw)
+    fwd_mod.forward_batch = _fb
+    import rwkv_tpu.runtime.generate as G2
+    print("pallas chunk kernels ON", file=sys.stderr)
 
 cfg = synth.make_config(ver, n_vocab=65536, n_embed=2048, n_layer=24)
 t0 = time.time()
