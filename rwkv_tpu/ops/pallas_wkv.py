@@ -57,15 +57,28 @@ def _wkv7_step_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
     out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
 
 
+def _step_head_block(head_block, BH, S, state_dtype):
+    """Clamp the per-grid-step head block to the VMEM budget: the state
+    block lives in VMEM as carry-in (state dtype), f32 compute values, and
+    carry-out, double-buffered — ~22 MB at HB=256 S=64 exceeds the 16 MB
+    scoped limit (measured). HB=128 measured best at B=128 on v5e (11.4k
+    vs 11.0k tok/s at HB=32); 64 is within noise of 32 at small batch."""
+    HB = min(head_block, BH)
+    per_head = S * S * (jnp.dtype(state_dtype).itemsize * 2 + 8)
+    while HB > 8 and HB * per_head * 2 > 12 * 1024 * 1024:
+        HB //= 2
+    while BH % HB:
+        HB -= 1
+    return HB
+
+
 @functools.partial(jax.jit, static_argnames=("head_block",))
-def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 32):
+def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 128):
     """One decode step, (B, H) folded: r/w/k/v/a/b (BH, S) f32, state
     (BH, Sv, Sk) f32 or bf16 (the carry dtype is preserved on the output
     state). Returns (out (BH, S) f32, new state)."""
     BH, S = r.shape
-    HB = min(head_block, BH)
-    while BH % HB:
-        HB -= 1
+    HB = _step_head_block(head_block, BH, S, state.dtype)
     vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
     out, st = pl.pallas_call(
@@ -81,7 +94,7 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 32):
     return out, st
 
 
-def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 32):
+def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 128):
     """Drop-in for ops/wkv.py::wkv7_step at (B, H, S) shapes."""
     B, H, S = r.shape
     fold = lambda x: x.reshape(B * H, *x.shape[2:])
@@ -104,15 +117,13 @@ def _wkv56_step_kernel(r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("head_block",))
-def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 32):
+def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 128):
     """One v5/v6 decode step, (B, H) folded: r/k/v/w/tf (BH, S) f32, state
     (BH, Sk, Sv) f32 or bf16 (carry dtype preserved, f32 compute). Returns
     (out (BH, S) f32, new state). Same one-read-one-write rationale as the
     wkv7 step kernel above."""
     BH, S = r.shape
-    HB = min(head_block, BH)
-    while BH % HB:
-        HB -= 1
+    HB = _step_head_block(head_block, BH, S, state.dtype)
     vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
     out, st = pl.pallas_call(
@@ -128,7 +139,7 @@ def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 32):
     return out, st
 
 
-def wkv56_step_batched(r, k, v, tf, w, state, head_block: int = 32):
+def wkv56_step_batched(r, k, v, tf, w, state, head_block: int = 128):
     """Drop-in for ops/wkv.py::wkv56_step at (B, H, S) shapes; tf and w may
     be (H, S) (v5's constant decay) — broadcast across the batch here."""
     B, H, S = r.shape
