@@ -65,7 +65,10 @@ def _step_head_block(head_block, BH, S, state_dtype):
     vs 11.0k tok/s at HB=32); 64 is within noise of 32 at small batch."""
     HB = min(head_block, BH)
     per_head = S * S * (jnp.dtype(state_dtype).itemsize * 2 + 8)
-    while HB > 8 and HB * per_head * 2 > 12 * 1024 * 1024:
+    # 13.5 MB budget: bf16-state HB=128 at S=64 uses 12.6 MB (measured ok);
+    # f32-state HB=128 would need 16.8 MB (over the 16 MB scoped limit) and
+    # clamps to 64
+    while HB > 8 and HB * per_head * 2 > 13_500_000:
         HB //= 2
     while BH % HB:
         HB -= 1
