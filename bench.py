@@ -268,6 +268,26 @@ def main():
 
     _extra("large-batch decode", _large_batch)
 
+    # single-stream latency — apples-to-apples with the reference's own
+    # headline metric (RWKV-4 1.5B Q4_0: 76 ms/token on a 4C/8T desktop CPU)
+    def _single_stream():
+        state1 = G.batched_init_state(cfg, 1)
+        tok1 = jnp.zeros((1,), jnp.int32)
+        toks, _ = G.greedy_decode(q4, cfg, tok1, state1, steps=steps,
+                                  state_bf16=True)
+        _ = jax.device_get(toks)
+        t0 = time.time()
+        for _i in range(reps):
+            toks, _ = G.greedy_decode(q4, cfg, tok1, state1, steps=steps,
+                                      state_bf16=True)
+        _ = jax.device_get(toks)
+        dt1 = (time.time() - t0) / reps / steps
+        print(f"decode w4a8bc B=1 single-stream: {1/dt1:.1f} tok/s "
+              f"({1000*dt1:.2f} ms/token; reference Q4_0 1.5B: 76 ms/token)",
+              file=sys.stderr)
+
+    _extra("single-stream decode", _single_stream)
+
     # prefill throughput (secondary, stderr only)
     def _prefill():
         T = 512

@@ -4,8 +4,19 @@ exact dense dequantization, all quant formats."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
+
+# This module validates kernel MATH in interpret mode, which on the real
+# chip (RWKV_TPU_TESTS=1) round-trips every internal op over the device
+# relay — minutes per test, and force_tpu_interpret_mode can hang outright
+# on the axon backend. The golden matrix + test_pallas_kernels' compiled
+# @tpu_only variants cover the on-chip lowering.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="interpret-mode math tests run on CPU; compiled variants cover TPU",
+)
 
 from rwkv_tpu.formats import quant as qc
 from rwkv_tpu.ops import qmm
