@@ -115,6 +115,8 @@ def _serve_step_core(params, cfg, last_tok, state, counts, active,
     tok = device_sample(logits, temps, top_ps, key, top_k)
 
     B = last_tok.shape[0]
+    # (a dense one-hot add instead of this scatter measured NEUTRAL at
+    # B=32 V=65536 — the scatter is not a bottleneck)
     counts = counts.at[jnp.arange(B), tok].add(active.astype(jnp.int32))
     # Freeze inactive slots' SMALL state leaves only. The (L, B, H, S, S)
     # heads leaf is ~97% of state bytes and a full where-select costs three
