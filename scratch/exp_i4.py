@@ -183,6 +183,10 @@ jax.block_until_ready(jax.tree.leaves(params))
 import os
 B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 sbf16 = os.environ.get("RWKV_EXP_SBF16") == "1"
+if os.environ.get("RWKV_EXP_MINBH"):
+    from rwkv_tpu.models import forward as fwd_mod
+    fwd_mod.STEP_KERNEL_MIN_BH = int(os.environ["RWKV_EXP_MINBH"])
+    print(f"STEP_KERNEL_MIN_BH = {fwd_mod.STEP_KERNEL_MIN_BH}", file=sys.stderr)
 if os.environ.get("RWKV_EXP_HB"):
     from rwkv_tpu.ops import pallas_wkv
     hb = int(os.environ["RWKV_EXP_HB"])
