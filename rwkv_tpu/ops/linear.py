@@ -460,8 +460,7 @@ def matmul(x, lin: Linear):
 
         g = group_of(lin.fmt)
         inn, out = lin.shape
-        ok = (out % 128 == 0 and inn % (2 * g) == 0 and (inn // 2) % 8 == 0)
-        if jax.default_backend() == "tpu" and ok:
+        if jax.default_backend() == "tpu" and qmm.bc4a8_aligned(inn, out, g):
             xt, da = qmm.quantize_acts_s8(x)
             if lin.layer is not None:
                 return qmm.qmm_bc4a8_stacked(xt, lin.q, lin.d, lin.layer,
@@ -534,8 +533,7 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
     if lin.kind == "w4a8g":
         return qmm.aligned_w4a8(inn, out // n_parts, g)
     if lin.kind == "bc4a8":
-        eo = out // n_parts
-        return eo % 128 == 0 and inn % (2 * g) == 0 and (inn // 2) % 8 == 0
+        return qmm.bc4a8_aligned(inn, out // n_parts, g)
     if lin.kind in ("q4fast", "q5fast", "q6fast", "q4bc"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)

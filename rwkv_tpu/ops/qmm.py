@@ -853,31 +853,66 @@ def _qmm_w4a8_stacked_kernel(l_ref, xlo_ref, xhi_ref, q_ref, dlo_ref, dhi_ref,
         o_ref[...] = acc_ref[...].astype(out_dtype)
 
 
+def _grouped_itp(half, step, lo, want):
+    """Packed-row tile for the grouped-scale kernels. Must (a) DIVIDE `half`
+    — the kernel grids floor-divide, so a non-divisor would silently drop
+    trailing packed rows (never contract them); (b) be a multiple of `step`
+    so each tile unpacks to whole scale groups; (c) be >= `lo` so the scale
+    tile has >= 8 sublane rows (Pallas f32 block rule). Returns the largest
+    feasible value <= `want`, else the smallest feasible one, else None."""
+    best = best_small = None
+    m = step
+    while m <= half:
+        if m >= lo and half % m == 0:
+            if m <= want:
+                best = m
+            elif best_small is None:
+                best_small = m
+        m += step
+    return best if best is not None else best_small
+
+
+def bc4a8_aligned(inn: int, out: int, group: int = 128) -> bool:
+    """Tiling feasibility for the bc4a8 (row-pair bitcast + grouped-int-dot)
+    kernels: out fills 128-lane tiles, in splits into whole scale groups,
+    and a packed-row tile exists that DIVIDES in/2 while unpacking to whole
+    groups with a >= 8-row scale block. Non-conforming widths (e.g.
+    in=2560 at group=256) must route to qmm_bc4a8_reference."""
+    inn2 = inn // 2
+    return (inn % (2 * group) == 0 and out % 128 == 0
+            and _grouped_itp(inn2, max(group // 2, 8), 4 * group, inn2)
+            is not None)
+
+
 def aligned_w4a8(inn: int, out: int, group: int = QK) -> bool:
     """Tiling feasibility for the packed grouped-int kernels: out fills
-    128-lane tiles and each packed half splits into whole scale groups
-    (groups may be coarse — 64/128/256 — for the serving-only INT4G*
-    formats, which fill the MXU's contraction depth with each group dot)."""
+    128-lane tiles, each packed half splits into whole scale groups, AND a
+    packed-row tile exists whose scale block has >= 8 sublane rows (groups
+    may be coarse — 64/128/256 — for the serving-only INT4G* formats; at
+    small widths a coarse group can make that tile infeasible, in which
+    case callers must route to qmm_w4a8_reference)."""
     half = inn // 2
     return (inn % 2 == 0 and out % 128 == 0 and half % group == 0
-            and half % 8 == 0)
+            and half % 8 == 0
+            and _grouped_itp(half, group, 8 * group, half) is not None)
 
 
 def _w4a8_tiles(t, inn, out, group, tiles):
     """Tile sizes for the packed grouped-int kernels; ITp indexes PACKED
-    rows (half the unpacked contraction span)."""
+    rows (half the unpacked contraction span). The scale BlockSpec is
+    (1, ITp // group, OT), so ITp must be a multiple of `group` AND give
+    >= 8 scale rows — enforced divisibility-safely via _grouped_itp."""
     half = inn // 2
     TT = _pick_tile(t, 256) if t > 256 else t
     if tiles is None and t <= 256:
         tiles = DECODE_TILES_I4
     OT = _pick_tile(out, tiles[0] if tiles else 512)
-    ITp = _pick_tile(half, (tiles[1] if tiles else (1024 if t <= 256 else 256)))
-    if ITp % group:
-        # snap down to a whole-group multiple (coarse groups may not divide
-        # the default tile)
-        ITp = max(group, ITp - ITp % group)
-        while half % ITp:
-            ITp -= group
+    want = _pick_tile(half, (tiles[1] if tiles else (1024 if t <= 256 else 256)))
+    ITp = _grouped_itp(half, group, 8 * group, want)
+    if ITp is None:
+        raise ValueError(
+            f"w4a8 kernel: no packed-row tile divides in/2={half} with a "
+            f">=8-row scale block at group={group}; use qmm_w4a8_reference")
     return TT, OT, ITp
 
 
@@ -1263,15 +1298,16 @@ def qmm_bc4a8_stacked(xt, q, d, layer, group: int = 128,
     inn, t = xt.shape
     out = q.shape[2]
     inn2 = inn // 2
-    if not (out % 128 == 0 and inn % (2 * group) == 0 and inn2 % 8 == 0):
-        raise ValueError(f"bc4a8 kernel needs out % 128 == 0 and in % "
-                         f"{2 * group} == 0, got (in={inn}, out={out})")
-    TT, OT, ITp = _i4_tiles(t, inn, out, group, tiles)
-    while (2 * ITp) % group or (2 * ITp) // group < 8:
-        # scale tile needs >= 8 sublane rows (Pallas block rule); widen ITp
-        if ITp * 2 > inn2:
-            break
-        ITp *= 2
+    if not bc4a8_aligned(inn, out, group):
+        raise ValueError(f"bc4a8 kernel needs out % 128 == 0 and a feasible "
+                         f"packed-row tile (in % {2 * group} == 0, scale "
+                         f"block >= 8 rows, tile divides in/2), got "
+                         f"(in={inn}, out={out}); use qmm_bc4a8_reference")
+    TT, OT, ITp = _i4_tiles(t, inn, out, 1, tiles)
+    # scale tile (1, 2*ITp//group, OT) needs >= 8 sublane rows AND ITp must
+    # divide inn2 (the grid floor-divides — a non-divisor would silently
+    # drop trailing packed rows); _i4_tiles' ITp is only the size target
+    ITp = _grouped_itp(inn2, max(group // 2, 8), 4 * group, ITp)
     dg = 2 * ITp // group
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1334,14 +1370,12 @@ def qmm_bc4a8_stacked_multi(xts, q, d, layer, n_parts: int, group: int = 128,
     assert n == n_parts and out % n_parts == 0
     eo = out // n_parts
     inn2 = inn // 2
-    if not (eo % 128 == 0 and inn % (2 * group) == 0 and inn2 % 8 == 0):
-        raise ValueError(f"bc4a8 multi kernel needs eo % 128 == 0 and in % "
-                         f"{2 * group} == 0, got (in={inn}, eo={eo})")
-    TT, OT, ITp = _i4_tiles(t, inn, eo, group, tiles)
-    while (2 * ITp) % group or (2 * ITp) // group < 8:
-        if ITp * 2 > inn2:
-            break
-        ITp *= 2
+    if not bc4a8_aligned(inn, eo, group):
+        raise ValueError(f"bc4a8 multi kernel needs eo % 128 == 0 and a "
+                         f"feasible packed-row tile, got (in={inn}, "
+                         f"eo={eo}); use qmm_bc4a8_reference")
+    TT, OT, ITp = _i4_tiles(t, inn, eo, 1, tiles)
+    ITp = _grouped_itp(inn2, max(group // 2, 8), 4 * group, ITp)
     per = eo // OT
     dg = 2 * ITp // group
 

@@ -47,7 +47,7 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
             q, d = P(*lead, None, "tp", None), P(*lead, None, "tp")
         return Linear(q=q, d=d, m=None if lin.m is None else d, kind=lin.kind, fmt=lin.fmt)
     if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
-                    "q4bc"):
+                    "q4bc", "bc4a8", "bc5a8"):
         # q: (L, in, O) int8 — or (L, in/2, O) packed uint8 for q4fast/q5fast/
         # q6fast (plus their (L, in*b/8, O) high-bit plane qh) — and d/m:
         # (L, nb, O), all contraction-major. Packed kinds under a mesh
@@ -57,7 +57,12 @@ def _linear_spec(lin: Linear, mode: str, stacked: bool):
         if mode == "col":
             q, d = P(*lead, None, "tp"), P(*lead, None, "tp")
         else:
-            q, d = P(*lead, "tp", None), P(*lead, "tp", None)
+            q = P(*lead, "tp", None)
+            # bc4a8/bc5a8 coarse-group scales have a tiny group axis
+            # (in/128 or in/256) that need not divide the mesh — replicate
+            # them in row mode (GSPMD reshards the reference-path unpack)
+            d = (P(*lead, None, None) if lin.kind in ("bc4a8", "bc5a8")
+                 else P(*lead, "tp", None))
         return Linear(q=q, d=d, m=None if lin.m is None else d,
                       qh=None if lin.qh is None else q,
                       kind=lin.kind, fmt=lin.fmt)

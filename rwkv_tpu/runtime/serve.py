@@ -76,9 +76,14 @@ def device_sample(logits, temps, top_ps, key, top_k: int):
     evaluated inside a top-k logit window. Semantics match the host
     reference (utils/sampling.py): the nucleus keeps tokens until the
     cumulative prob exceeds top_p (inclusive), then samples ∝ p^(1/T) over
-    the kept set; temperature 0 is argmax. Exact vs the full-vocab host
-    path whenever the nucleus holds < top_k tokens (statistically verified
-    in tests/test_serve.py::test_device_sampling_distribution_fidelity)."""
+    the kept set; temperature 0 is argmax. On CPU the window is exact
+    top_k, so results match the full-vocab host path whenever the nucleus
+    holds < top_k tokens (statistically verified in
+    tests/test_serve.py::test_device_sampling_distribution_fidelity). On
+    TPU the window comes from jax.lax.approx_max_k: the argmax always
+    survives (greedy stays exact) but deep-tail window MEMBERSHIP is
+    approximate (recall ~0.95 by default) — users needing host-parity
+    sampling on TPU should sample on host from the returned logits."""
     k = min(top_k, logits.shape[-1])
     if jax.default_backend() == "tpu" and k < logits.shape[-1]:
         # exact top_k lowers as a FULL-VOCAB sort on TPU (measured 1.6

@@ -614,8 +614,11 @@ def test_qmm_w4a8_coarse_groups(g):
     """Serving-only coarse-group w4a8 (INT4G64/128/256): each per-group
     integer dot contracts K=g, filling the MXU's pipelined contraction
     depth that K=32 group dots leave idle. Kernel must match the grouped
-    jnp reference bit-close at every group size."""
-    inn, out, t, L = 2048, 256, 8, 2
+    jnp reference bit-close at every group size. The width is chosen so
+    the scale BlockSpec keeps >= 8 sublane rows (in/2 >= 8*g — narrower
+    coarse-group widths are gated out of aligned_w4a8 and serve through
+    qmm_w4a8_reference; see test_w4a8_coarse_group_alignment_gate)."""
+    inn, out, t, L = max(2048, 16 * g), 256, 8, 2
     codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
     d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
     packed = jnp.asarray(qmm.pack_i4(codes, bias=8))
@@ -625,6 +628,57 @@ def test_qmm_w4a8_coarse_groups(g):
     with pltpu.force_tpu_interpret_mode():
         y = np.asarray(qmm.qmm_w4a8_stacked(xt, packed, d, 1, group=g)) * np.asarray(da)
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("inn,g", [(2560, 128), (7168, 256), (2560, 256)])
+def test_qmm_bc4a8_non_pow2_contraction(inn, g):
+    """Regression (round-4 advisor, high): the bc4a8 packed-row tile must
+    DIVIDE in/2 — the old 8-row widening loop doubled ITp without keeping
+    divisibility, so the floor-divided grid silently never contracted the
+    trailing rows (in=2560 @ g=128 covered 1024/1280 packed rows). Checked
+    at 3.5x-FFN-style widths; infeasible combos must route to the jnp
+    reference via bc4a8_aligned instead of mis-tiling."""
+    out, t, L = 256, 8, 1
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    lo = codes[:, 0::2].astype(np.uint8) & 15
+    hi = codes[:, 1::2].astype(np.uint8) & 15
+    packed = jnp.asarray(lo | (hi << 4))
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_bc4a8_reference(x, packed[0], d[0], group=g))
+    if not qmm.bc4a8_aligned(inn, out, g):
+        with pytest.raises(ValueError):
+            xt, da = qmm.quantize_acts_s8(x)
+            with pltpu.force_tpu_interpret_mode():
+                qmm.qmm_bc4a8_stacked(xt, packed, d, 0, group=g)
+        return
+    xt, da = qmm.quantize_acts_s8(x)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_bc4a8_stacked(xt, packed, d, 0, group=g)) * np.asarray(da)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+    # multi variant shares the tiling logic
+    with pltpu.force_tpu_interpret_mode():
+        ym = qmm.qmm_bc4a8_stacked_multi(
+            jnp.stack([xt, xt]), jnp.concatenate([packed, packed], axis=-1),
+            jnp.concatenate([d, d], axis=-1), 0, 2, group=g)
+    np.testing.assert_allclose(
+        np.asarray(ym)[:, :out] * np.asarray(da), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_w4a8_coarse_group_alignment_gate():
+    """Regression (round-4 advisor, low): aligned_w4a8 must reject widths
+    whose scale BlockSpec would have < 8 sublane rows (in/2 < 8*g), so the
+    Linear dispatch falls back to qmm_w4a8_reference instead of handing
+    Mosaic a sub-8-row f32 block."""
+    assert not qmm.aligned_w4a8(2048, 256, 256)   # in/2=1024 < 8*256
+    assert qmm.aligned_w4a8(4096, 256, 256)       # in/2=2048 == 8*256
+    assert qmm.aligned_w4a8(2048, 256, 128)
+    # bc4a8: non-power-of-two widths with a feasible divisor tile stay on
+    # the kernel; ones without any route to reference
+    assert qmm.bc4a8_aligned(2560, 256, 128)      # ITp=640 divides 1280
+    assert qmm.bc4a8_aligned(7168, 256, 256)      # ITp=3584
+    assert not qmm.bc4a8_aligned(1536, 256, 256)  # in/2=768 < 4*g=1024
+    assert not qmm.bc4a8_aligned(2560, 192, 128)  # out not lane-aligned
 
 
 def test_quantize_params_w4a8_coarse_group_forward():
