@@ -97,10 +97,74 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 128):
     return out, st
 
 
+# Round-5 step-kernel rebuild: the v1 kernels above move 8-10 separate
+# BlockSpec streams per grid step (six/five tiny (HB, S) vectors + state
+# in/out) — at ~42 us/call measured (7B B=8, BH=512) that is mostly DMA
+# issue overhead, not bytes (state-pass floor is ~10 us). The v2 kernels
+# stack the vectors into ONE (6, BH, S) operand (one strided DMA), alias
+# the state input to the state output (no XLA donation copy), and mark the
+# head grid parallel so Mosaic pipelines blocks freely.
+STEP_V2 = True
+
+
+def _wkv7_step_kernel_v2(vecs_ref, s0_ref, out_ref, sT_ref):
+    s = s0_ref[...].astype(jnp.float32)              # (HB, Sv, Sk)
+    r, w, k, v, a, b = (vecs_ref[i] for i in range(6))
+    sa = jnp.sum(s * a[:, None, :], axis=2)          # (HB, Sv)
+    s = (
+        s * w[:, None, :]
+        + v[:, :, None] * k[:, None, :]
+        + sa[:, :, None] * b[:, None, :]
+    )
+    sT_ref[...] = s.astype(sT_ref.dtype)
+    out_ref[...] = jnp.sum(s * r[:, None, :], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv7_step_pallas_v2(vecs, state, head_block: int = 128):
+    """One decode step: vecs (6, BH, S) f32 stacked [r, w, k, v, a, b],
+    state (BH, Sv, Sk) f32 or bf16 (carry dtype preserved; in-place via
+    input_output_aliases). Returns (out (BH, S) f32, new state)."""
+    _, BH, S = vecs.shape
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    out, st = pl.pallas_call(
+        _wkv7_step_kernel_v2,
+        grid=(BH // HB,),
+        in_specs=[
+            pl.BlockSpec((6, HB, S), lambda h: (0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), state.dtype),
+        ],
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # the stacked vec block pushes HB=128 just past the default
+            # 16 MB scoped-vmem cap; v5e has 128 MB physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(vecs, state)
+    return out, st
+
+
 def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 128):
     """Drop-in for ops/wkv.py::wkv7_step at (B, H, S) shapes."""
     B, H, S = r.shape
     fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    if STEP_V2:
+        vecs = jnp.stack([fold(r), fold(w), fold(k), fold(v), fold(a),
+                          fold(b)])
+        out, st = wkv7_step_pallas_v2(vecs, fold(state),
+                                      head_block=head_block)
+        return out.reshape(B, H, S), st.reshape(B, H, S, S)
     out, st = wkv7_step_pallas(
         fold(r), fold(w), fold(k), fold(v), fold(a), fold(b), fold(state),
         head_block=head_block,
@@ -142,11 +206,63 @@ def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 128):
     return out, st
 
 
+def _wkv56_step_kernel_v2(vecs_ref, s0_ref, out_ref, sT_ref):
+    s = s0_ref[...].astype(jnp.float32)              # (HB, Sk, Sv)
+    r, k, v, tf, w = (vecs_ref[i] for i in range(5))
+    kv = k[:, :, None] * v[:, None, :]
+    out_ref[...] = jnp.sum(
+        (s + tf[:, :, None] * kv) * r[:, :, None], axis=1)
+    sT_ref[...] = (s * w[:, :, None] + kv).astype(sT_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv56_step_pallas_v2(vecs, state, head_block: int = 128):
+    """One v5/v6 decode step: vecs (5, BH, S) f32 stacked [r, k, v, tf, w],
+    state (BH, Sk, Sv) f32 or bf16 (carry dtype preserved; in-place via
+    input_output_aliases). Returns (out (BH, S) f32, new state)."""
+    _, BH, S = vecs.shape
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    out, st = pl.pallas_call(
+        _wkv56_step_kernel_v2,
+        grid=(BH // HB,),
+        in_specs=[
+            pl.BlockSpec((5, HB, S), lambda h: (0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct((BH, S, S), state.dtype),
+        ],
+        input_output_aliases={1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # the stacked vec block pushes HB=128 just past the default
+            # 16 MB scoped-vmem cap; v5e has 128 MB physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(vecs, state)
+    return out, st
+
+
 def wkv56_step_batched(r, k, v, tf, w, state, head_block: int = 128):
     """Drop-in for ops/wkv.py::wkv56_step at (B, H, S) shapes; tf and w may
     be (H, S) (v5's constant decay) — broadcast across the batch here."""
     B, H, S = r.shape
     fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    if STEP_V2:
+        vecs = jnp.stack([
+            fold(r), fold(k), fold(v),
+            fold(jnp.broadcast_to(tf, (B, H, S))),
+            fold(jnp.broadcast_to(w, (B, H, S)))])
+        out, st = wkv56_step_pallas_v2(vecs, fold(state),
+                                       head_block=head_block)
+        return out.reshape(B, H, S), st.reshape(B, H, S, S)
     tf_b = fold(jnp.broadcast_to(tf, (B, H, S)))
     w_b = fold(jnp.broadcast_to(w, (B, H, S)))
     out, st = wkv56_step_pallas(

@@ -256,6 +256,37 @@ def test_wkv7_step_kernel():
 
 
 @cpu_interpret
+def test_wkv7_step_kernel_variants():
+    """The v1 (per-vector streams) and v2 (stacked vecs + aliased state)
+    step kernels must agree with the jnp step, for f32 and bf16 state
+    carries."""
+    rng = np.random.default_rng(29)
+    B, H, S = 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    s0f = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    for s0 in (s0f, s0f.astype(jnp.bfloat16)):
+        out_ref, st_ref = ref.wkv7_step(r, w, k, v, a, b,
+                                        s0.astype(jnp.float32))
+        for v2 in (False, True):
+            old = pk.STEP_V2
+            pk.STEP_V2 = v2
+            try:
+                with pltpu.force_tpu_interpret_mode():
+                    out_pl, st_pl = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
+            finally:
+                pk.STEP_V2 = old
+            assert st_pl.dtype == s0.dtype
+            tol = 1e-5 if s0.dtype == jnp.float32 else 2e-2
+            np.testing.assert_allclose(np.asarray(out_pl),
+                                       np.asarray(out_ref), atol=tol, rtol=tol)
+            np.testing.assert_allclose(
+                np.asarray(st_pl.astype(jnp.float32)), np.asarray(st_ref),
+                atol=tol, rtol=tol)
+
+
+@cpu_interpret
 def test_wkv56_step_kernel():
     """Fused v5/v6 decode-step kernel vs the jnp step, incl. (H, S)-shaped
     constant decay broadcast (the v5 calling convention)."""

@@ -353,6 +353,7 @@ def test_qmm_i4_bf16_interior_default():
     assert np.max(np.abs(y_bf - y_ref)) / scale < 0.05
 
 
+@pytest.mark.slow
 def test_autotuner_smoke():
     """The decode-tile autotuner sweeps candidates at model level, ranks
     them, and applies the winner to the module knob (restores on apply=False)."""

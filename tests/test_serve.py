@@ -352,6 +352,7 @@ def test_park_resume_session(ctx):
     (0.7, 1.0, 512),    # nucleus disabled entirely
     (1.0, 0.8, 16),     # window much smaller than vocab
 ])
+@pytest.mark.slow
 def test_device_sampling_distribution_fidelity(ctx, temperature, top_p, top_k):
     """Statistical fidelity of on-device top-k-windowed nucleus sampling vs
     the host reference's EXACT distribution (utils/sampling.py semantics):

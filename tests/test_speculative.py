@@ -3,6 +3,7 @@ decode no matter how good or bad the draft is — the draft only changes how
 many tokens each round emits, never which tokens."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ def _tiny(batch):
     return cfg, prm, G.batched_init_state(cfg, batch)
 
 
+@pytest.mark.slow
 def test_self_draft_accepts_everything():
     """Draft == target: every round must accept all k drafts + bonus."""
     cfg, prm, state = _tiny(2)
@@ -54,6 +56,7 @@ def test_quantized_draft_matches_target_greedy():
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", ["4.0", "5.2", "6.0", "7.0"])
 def test_cross_model_draft_exactness(version):
     """A draft with a DIFFERENT architecture (depth/width) still yields the
@@ -77,6 +80,7 @@ def test_cross_model_draft_exactness(version):
     assert np.array_equal(out, np.asarray(greedy))
 
 
+@pytest.mark.slow
 def test_finalize_states_continue_greedy():
     """States folded by finalize_states continue exactly like a plain greedy
     decode that produced the same prefix."""
@@ -98,6 +102,7 @@ def test_finalize_states_continue_greedy():
     assert np.array_equal(np.asarray(cont), ref[:, n:])
 
 
+@pytest.mark.slow
 def test_sampled_greedy_limit_matches_greedy():
     """temperature -> 0 collapses sampled speculation to the greedy stream,
     for an int8 draft (accept/reject both exercised on near-ties)."""
@@ -117,6 +122,7 @@ def test_sampled_greedy_limit_matches_greedy():
         assert np.array_equal(flat[:n], greedy[b, :n])
 
 
+@pytest.mark.slow
 def test_sampled_distribution_fidelity():
     """Chi-square: the FIRST token emitted by sampled speculation (int8
     draft) must be distributed exactly as the target's sampled_decode
@@ -164,6 +170,7 @@ def test_sampled_distribution_fidelity():
     assert stat < dof + 6 * np.sqrt(2 * dof) + 10, (stat, dof)
 
 
+@pytest.mark.slow
 def test_lookup_speculation_exact_and_accepting():
     """Draft-free prompt-lookup speculation: exact greedy stream, and the
     tiny model's cyclic continuation ('the stress and the stress...') must
@@ -188,6 +195,7 @@ def test_lookup_speculation_exact_and_accepting():
     assert accept > 0.25, accept  # cyclic text: lookup must actually bite
 
 
+@pytest.mark.slow
 def test_generate_completions_draft_cli(capsys, monkeypatch):
     """The --draft CLI surface: batched self-speculative generation end to
     end (greedy: both generations identical and English-ish)."""
