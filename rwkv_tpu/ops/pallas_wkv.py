@@ -41,20 +41,47 @@ from jax.experimental.pallas import tpu as pltpu
 # models/forward.py dispatches it by batch size (STEP_KERNEL_MIN_B).
 # ---------------------------------------------------------------------------
 
+# v3 experiment knobs for the v1 step kernels (A/B'd at model level by
+# scratch/step_ab.py; the v2 stacked-operand rebuild measured a LOSS, see
+# STEP_V2 below):
+#   STEP_ALIAS — alias the state input to the state output buffer
+#     (input_output_aliases) and mark the head grid parallel: the in-place
+#     update removes any XLA copy-for-donation around the custom call.
+#   STEP_MXU  — issue the two S-contractions (sa = s·a, out = s'·r) as
+#     batched dot_generals so they run on the MXU instead of the VPU
+#     (the kernel interior is ~9 VPU ops/elem; the two reductions are 4
+#     of them).
+STEP_ALIAS = False
+STEP_MXU = False
+
+
+def _bmv(s, x):
+    """(HB, Sv, Sk) · (HB, Sk) -> (HB, Sv): batched matvec, MXU-eligible."""
+    return jax.lax.dot_general(
+        s, x, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 def _wkv7_step_kernel(r_ref, w_ref, k_ref, v_ref, a_ref, b_ref, s0_ref,
                       out_ref, sT_ref):
     # the state may be carried in bf16 (halves the dominant HBM term at
     # large batch); compute is f32 either way, rounded back on store
     s = s0_ref[...].astype(jnp.float32)              # (HB, Sv, Sk)
     a = a_ref[...]
-    sa = jnp.sum(s * a[:, None, :], axis=2)          # (HB, Sv)
+    if STEP_MXU:
+        sa = _bmv(s, a)
+    else:
+        sa = jnp.sum(s * a[:, None, :], axis=2)      # (HB, Sv)
     s = (
         s * w_ref[...][:, None, :]
         + v_ref[...][:, :, None] * k_ref[...][:, None, :]
         + sa[:, :, None] * b_ref[...][:, None, :]
     )
     sT_ref[...] = s.astype(sT_ref.dtype)
-    out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
+    if STEP_MXU:
+        out_ref[...] = _bmv(s, r_ref[...])
+    else:
+        out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
 
 
 def _step_head_block(head_block, BH, S, state_dtype):
@@ -84,6 +111,11 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 128):
     HB = _step_head_block(head_block, BH, S, state.dtype)
     vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
+    kw = {}
+    if STEP_ALIAS:
+        kw = dict(input_output_aliases={6: 1},
+                  compiler_params=pltpu.CompilerParams(
+                      dimension_semantics=("parallel",)))
     out, st = pl.pallas_call(
         _wkv7_step_kernel,
         grid=(BH // HB,),
@@ -93,18 +125,21 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 128):
             jax.ShapeDtypeStruct((BH, S), jnp.float32),
             jax.ShapeDtypeStruct((BH, S, S), state.dtype),
         ],
+        **kw,
     )(r, w, k, v, a, b, state)
     return out, st
 
 
-# Round-5 step-kernel rebuild: the v1 kernels above move 8-10 separate
-# BlockSpec streams per grid step (six/five tiny (HB, S) vectors + state
-# in/out) — at ~42 us/call measured (7B B=8, BH=512) that is mostly DMA
-# issue overhead, not bytes (state-pass floor is ~10 us). The v2 kernels
-# stack the vectors into ONE (6, BH, S) operand (one strided DMA), alias
-# the state input to the state output (no XLA donation copy), and mark the
-# head grid parallel so Mosaic pipelines blocks freely.
-STEP_V2 = True
+# Round-5 step-kernel experiment (MEASURED LOSS — default off): the v1
+# kernels above move 8-10 separate BlockSpec streams per grid step; the v2
+# kernels stack the vectors into ONE (6, BH, S) operand, alias the state
+# input to the state output, and mark the head grid parallel. On-chip
+# (1.5B v7 w4a8bc decode, scratch/step_ab_r5.log): v2 LOSES — B=32
+# 6,784 vs 7,010 tok/s (-3%), B=128 9,978 vs 11,025 (-10%). The jnp.stack
+# feeding the kernel is a real extra pass over all six vectors per step,
+# and the separate tiny DMAs were never the binder. Kept for reference;
+# tests pin both forms.
+STEP_V2 = False
 
 
 def _wkv7_step_kernel_v2(vecs_ref, s0_ref, out_ref, sT_ref):
@@ -178,8 +213,16 @@ def _wkv56_step_kernel(r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref,
     k = k_ref[...]
     v = v_ref[...]
     kv = k[:, :, None] * v[:, None, :]
-    out_ref[...] = jnp.sum(
-        (s + tf_ref[...][:, :, None] * kv) * r_ref[...][:, :, None], axis=1)
+    if STEP_MXU:
+        # batched vec·mat on the MXU: contraction over Sk (axis 1 of s)
+        out_ref[...] = jax.lax.dot_general(
+            r_ref[...], s + tf_ref[...][:, :, None] * kv,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    else:
+        out_ref[...] = jnp.sum(
+            (s + tf_ref[...][:, :, None] * kv) * r_ref[...][:, :, None],
+            axis=1)
     sT_ref[...] = (s * w_ref[...][:, :, None] + kv).astype(sT_ref.dtype)
 
 
@@ -193,6 +236,11 @@ def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 128):
     HB = _step_head_block(head_block, BH, S, state.dtype)
     vec_spec = pl.BlockSpec((HB, S), lambda h: (h, 0), memory_space=pltpu.VMEM)
     st_spec = pl.BlockSpec((HB, S, S), lambda h: (h, 0, 0), memory_space=pltpu.VMEM)
+    kw = {}
+    if STEP_ALIAS:
+        kw = dict(input_output_aliases={5: 1},
+                  compiler_params=pltpu.CompilerParams(
+                      dimension_semantics=("parallel",)))
     out, st = pl.pallas_call(
         _wkv56_step_kernel,
         grid=(BH // HB,),
@@ -202,6 +250,7 @@ def wkv56_step_pallas(r, k, v, tf, w, state, head_block: int = 128):
             jax.ShapeDtypeStruct((BH, S), jnp.float32),
             jax.ShapeDtypeStruct((BH, S, S), state.dtype),
         ],
+        **kw,
     )(r, k, v, w, tf, state)
     return out, st
 

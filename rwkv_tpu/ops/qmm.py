@@ -1263,24 +1263,63 @@ def qmm_bc4_stacked_multi(xs, q, d, m, layer, n_parts: int, group: int = QK,
 # ---------------------------------------------------------------------------
 
 
+# Kernel-interior schedule for the bc4a8 dots. The "full" form does ONE
+# tile-wide astype(i8) then one batched grouped dot — simple, but it hands
+# Mosaic a strict VPU(unpack-all) -> MXU(dot-all) dependency chain, so the
+# VPU, MXU and the next tile's weight DMA serialize (measured 57% of the
+# DMA floor at 7B). "groups" unrolls per-scale-group astype+dot pairs:
+# group g+1's nibble widen has no dependency on group g's dot, so Mosaic
+# can run the VPU unpack UNDER the MXU pass and both under the DMA.
+# "groupdots" isolates the dot-shape half of that change (full-tile astype,
+# per-group dots). Module knob so ops/autotune.py / scratch A/Bs can flip;
+# model-level measurement decides the default.
+BC4A8_INTERIOR = "full"
+
+
+def _bc4a8_accum(qb, xt, d, acc_ref, *, group):
+    """Accumulate xtᵀ·dequant(qb) into acc_ref (f32 (TT, OT) scratch).
+    qb (ITp, OT) u8 row-pair packed nibbles, xt (2*ITp, TT) s8
+    contraction-major activations, d (nb, OT) f32 per-group scales."""
+    it, tt = xt.shape
+    ot = qb.shape[-1]
+    nb = it // group
+    gp = group // 2                           # packed rows per scale group
+    if BC4A8_INTERIOR == "groups":
+        for g in range(nb):
+            wg = pltpu.bitcast(qb[g * gp:(g + 1) * gp], jnp.int4)
+            z = jax.lax.dot_general(
+                xt[g * group:(g + 1) * group], wg.astype(jnp.int8),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                 # (TT, OT) i32
+            acc_ref[...] += z.astype(jnp.float32) * d[g][None, :]
+        return
+    w = pltpu.bitcast(qb, jnp.int4).astype(jnp.int8)        # (2*ITp, OT)
+    if BC4A8_INTERIOR == "groupdots":
+        for g in range(nb):
+            z = jax.lax.dot_general(
+                xt[g * group:(g + 1) * group], w[g * group:(g + 1) * group],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc_ref[...] += z.astype(jnp.float32) * d[g][None, :]
+        return
+    z = jax.lax.dot_general(
+        xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )                                                       # (nb, TT, OT) i32
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+
 def _qmm_bc4a8_stacked_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref, acc_ref, *,
                               group, out_dtype):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = pltpu.bitcast(q_ref[0], jnp.int4).astype(jnp.int8)  # (2*ITp, OT)
-    xt = xt_ref[...]                                        # (2*ITp, TT) s8
-    it, tt = xt.shape
-    ot = w.shape[1]
-    nb = it // group
-    z = jax.lax.dot_general(
-        xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )                                                       # (nb, TT, OT) i32
-    d = d_ref[0].astype(jnp.float32)                        # (nb, OT)
-    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+    _bc4a8_accum(q_ref[0], xt_ref[...], d_ref[0].astype(jnp.float32),
+                 acc_ref, group=group)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
@@ -1339,18 +1378,8 @@ def _qmm_bc4a8_stacked_multi_kernel(l_ref, xt_ref, q_ref, d_ref, o_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = pltpu.bitcast(q_ref[0], jnp.int4).astype(jnp.int8)
-    xt = xt_ref[0]
-    it, tt = xt.shape
-    ot = w.shape[1]
-    nb = it // group
-    z = jax.lax.dot_general(
-        xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32,
-    )
-    d = d_ref[0].astype(jnp.float32)
-    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+    _bc4a8_accum(q_ref[0], xt_ref[0], d_ref[0].astype(jnp.float32),
+                 acc_ref, group=group)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():

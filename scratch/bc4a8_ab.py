@@ -1,16 +1,14 @@
-"""A/B the wkv7/wkv56 step-kernel rebuild at model level.
-Usage: python scratch/step_ab.py VARIANT [1p5|7b] [B] [version]
-VARIANT: 0=v1, 1=v2(stacked), alias, mxu, aliasmxu (v1+knobs)
+"""A/B the bc4a8 kernel interior schedule at model level (7B decode).
+Usage: python scratch/bc4a8_ab.py INTERIOR [1p5|7b] [B] [merge]
 """
 import sys
 import time
 
 import numpy as np
 
-variant = sys.argv[1]
-size = sys.argv[2] if len(sys.argv) > 2 else "1p5"
-B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-ver = sys.argv[4] if len(sys.argv) > 4 else "7.0"
+interior = sys.argv[1]
+size = sys.argv[2] if len(sys.argv) > 2 else "7b"
+B = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
 import jax
 import jax.numpy as jnp
@@ -18,20 +16,17 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/repo")
 from rwkv_tpu.models import synth
 from rwkv_tpu.ops import linear as L
-from rwkv_tpu.ops import pallas_wkv as pk
 from rwkv_tpu.ops import qmm
 from rwkv_tpu.runtime import generate as G
 
-pk.STEP_V2 = variant == "1"
-pk.STEP_ALIAS = "alias" in variant
-pk.STEP_MXU = "mxu" in variant
+qmm.BC4A8_INTERIOR = interior
 
 if size == "7b":
-    cfg = synth.make_config(ver, n_vocab=65536, n_embed=4096, n_layer=32)
+    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=4096, n_layer=32)
 else:
-    cfg = synth.make_config(ver, n_vocab=65536, n_embed=2048, n_layer=24)
+    cfg = synth.make_config("7.0", n_vocab=65536, n_embed=2048, n_layer=24)
 
-merge = len(sys.argv) > 5 and sys.argv[5] == "merge"
+merge = len(sys.argv) > 4 and sys.argv[4] == "merge"
 t0 = time.time()
 params = synth.random_params_device(cfg, dtype=np.dtype("bfloat16"),
                                     quantize="w4a8bc")
@@ -66,12 +61,12 @@ for _ in range(reps):
                               state_bf16=True)
 _ = jax.device_get(toks)
 dt = (time.time() - t0) / reps
-print(f"RESULT STEP={variant} {ver} {size} B={B}: {B*steps/dt:.1f} tok/s "
-      f"({1000*dt/steps:.3f} ms/step)")
+print(f"RESULT BC4A8={interior} {size} B={B} merge={merge}: "
+      f"{B*steps/dt:.1f} tok/s ({1000*dt/steps:.3f} ms/step)")
 
 import os
-if os.environ.get("STEP_AB_TRACE"):
-    out = f"scratch/traces/ab_{variant}_{size}_b{B}"
+if os.environ.get("BC4A8_TRACE"):
+    out = f"scratch/traces/bc4a8_{interior}_{size}_b{B}"
     with jax.profiler.trace(out):
         toks, _ = G.greedy_decode(params, cfg, tok0, state, steps=steps,
                                   state_bf16=True)

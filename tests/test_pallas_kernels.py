@@ -287,6 +287,38 @@ def test_wkv7_step_kernel_variants():
 
 
 @cpu_interpret
+def test_step_kernel_knobs():
+    """STEP_ALIAS (in-place state via input_output_aliases) and STEP_MXU
+    (S-contractions as batched dots) are exact reschedules: v7 and v5/v6
+    step kernels match the jnp steps under every knob combination."""
+    rng = np.random.default_rng(31)
+    B, H, S = 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    tf, w6 = (jnp.asarray(rng.uniform(0.1, 1, (B, H, S)), jnp.float32)
+              for _ in range(2))
+    s0 = jnp.asarray(rng.standard_normal((B, H, S, S)) * 0.1, jnp.float32)
+    o7_ref, s7_ref = ref.wkv7_step(r, w, k, v, a, b, s0)
+    o56_ref, s56_ref = ref.wkv56_step(r, k, v, tf, w6, s0)
+    old = pk.STEP_ALIAS, pk.STEP_MXU
+    try:
+        for alias in (False, True):
+            for mxu in (False, True):
+                pk.STEP_ALIAS, pk.STEP_MXU = alias, mxu
+                with pltpu.force_tpu_interpret_mode():
+                    o7, s7 = pk.wkv7_step_batched(r, w, k, v, a, b, s0)
+                    o56, s56 = pk.wkv56_step_batched(r, k, v, tf, w6, s0)
+                for got, want in ((o7, o7_ref), (s7, s7_ref),
+                                  (o56, o56_ref), (s56, s56_ref)):
+                    np.testing.assert_allclose(np.asarray(got),
+                                               np.asarray(want),
+                                               atol=2e-5, rtol=2e-5)
+    finally:
+        pk.STEP_ALIAS, pk.STEP_MXU = old
+
+
+@cpu_interpret
 def test_wkv56_step_kernel():
     """Fused v5/v6 decode-step kernel vs the jnp step, incl. (H, S)-shaped
     constant decay broadcast (the v5 calling convention)."""

@@ -591,6 +591,35 @@ def test_qmm_bc4a8_interpret(g):
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("interior", ["full", "groupdots", "groups"])
+def test_qmm_bc4a8_interior_variants(interior):
+    """The three kernel-interior schedules (full-tile batched dot, per-group
+    dots, per-group bitcast+astype+dot) are exact reschedules of the same
+    math — identical outputs, stacked and multi."""
+    inn, out, t, L, g = 2048, 256, 8, 2, 128
+    codes = RNG.integers(-8, 8, size=(L, inn, out)).astype(np.int8)
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    packed = jnp.asarray(qmm.pack_bc4_signed(codes))
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    ref = np.asarray(qmm.qmm_bc4a8_reference(x, packed[1], d[1], group=g))
+    xt, da = qmm.quantize_acts_s8(x)
+    xts = jnp.stack([xt, xt])
+    p2 = jnp.concatenate([packed, packed], axis=2)
+    d2 = jnp.concatenate([d, d], axis=2)
+    old = qmm.BC4A8_INTERIOR
+    qmm.BC4A8_INTERIOR = interior
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            y = np.asarray(qmm.qmm_bc4a8_stacked(xt, packed, d, 1, group=g))
+            ym = np.asarray(qmm.qmm_bc4a8_stacked_multi(xts, p2, d2, 1, 2,
+                                                        group=g))
+    finally:
+        qmm.BC4A8_INTERIOR = old
+    np.testing.assert_allclose(y * np.asarray(da), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ym[:, :out] * np.asarray(da), ref, rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_quantize_params_w4a8bc_forward():
     """mode='w4a8bc' end-to-end on a real tiny model (merged rkv): bc4a8
     Linears, logits in the coarse-group 4-bit band vs dense."""
