@@ -66,7 +66,8 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
     host = random_params(cfg, dtype=np.float32, seed=seed, shapes_only=True)
 
     if quantize in ("int8", "int4", "int4bc", "int5") or (
-            isinstance(quantize, str) and quantize.startswith("w4a8")):
+            isinstance(quantize, str)
+            and (quantize.startswith("w4a8") or quantize.startswith("w5a8"))):
         import math
 
         from rwkv_tpu.ops.linear import Linear
@@ -101,6 +102,21 @@ def random_params_device(cfg: ModelConfig, dtype=np.float32, seed: int = 0,
                              0.5 / math.sqrt(inn) / 9.2, jnp.bfloat16)
                 layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="q5fast",
                                    fmt="INT5")
+            elif quantize.startswith("w5a8bc"):
+                # 5-bit bitcast class: row-pair nibble plane + row-quad i2
+                # sign plane (kind bc5a8); uniform random planes give
+                # n + 8*sigma std ~10.1 (sigma spans all four i2 values
+                # here — only perf-relevant, real packs use {-1,+1})
+                g = int(quantize[6:]) if len(quantize) > 6 else 128
+                q = jax.random.randint(kq, (L_, inn // 2, out), 0, 256,
+                                       jnp.int32).astype(jnp.uint8)
+                qh = jax.random.randint(jax.random.fold_in(kq, 1),
+                                        (L_, inn // 4, out), 0, 256,
+                                        jnp.int32).astype(jnp.uint8)
+                d = jnp.full((L_, inn // g, out),
+                             0.5 / math.sqrt(inn) / 10.1, jnp.bfloat16)
+                layers[k] = Linear(q=q, qh=qh, d=d, m=None, kind="bc5a8",
+                                   fmt=f"INT5G{g}")
             elif quantize.startswith("w4a8"):
                 # uniform packed nibbles (same bytes as int4; unpacked
                 # codes-8 std ~4.6); grouped-integer-dot kinds: w4a8gN =

@@ -75,7 +75,7 @@ class Linear:
             *_, inn, o = self.q.shape
             return (inn, o)
         if self.kind in ("q4fast", "q5fast", "q6fast", "w4a8g", "q4bc",
-                         "bc4a8"):  # q is (in/2, out) packed nibbles
+                         "bc4a8", "bc5a8"):  # q is (in/2, out) packed nibbles
             *_, inn2, o = self.q.shape
             return (2 * inn2, o)
         return self.w.shape[-2:]
@@ -100,7 +100,8 @@ def _take_layer(a, idx):
 
 def group_of(fmt: str) -> int:
     """Sub-block granularity of a quant format's scales (elements per scale)."""
-    if fmt.startswith("INT4G"):  # serving-only w4a8 coarse-group variants
+    if fmt.startswith("INT4G") or fmt.startswith("INT5G"):
+        # serving-only coarse-group grouped-int-dot variants
         return int(fmt[5:])
     return 16 if fmt in ("Q2_K", "Q3_K", "Q6_K") else 32
 
@@ -305,7 +306,7 @@ def _matmul_quant_parity(x, lin: Linear):
 
 
 _KERNEL_KINDS = ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
-                 "q4bc", "bc4a8")
+                 "q4bc", "bc4a8", "bc5a8")
 
 
 def _pad_rows_to(t):
@@ -324,11 +325,11 @@ def matmul(x, lin: Linear):
     (bf16 activations, models/forward.py::_act_dtype — the quantized kernels
     and parity int-dot take f32, so those branches upcast)."""
     if lin.kind in ("quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
-                    "w4a8g", "w8a8", "q4bc", "bc4a8"):
+                    "w4a8g", "w8a8", "q4bc", "bc4a8", "bc5a8"):
         x = x.astype(jnp.float32)
     if x.ndim > 2 and lin.kind in ("quant", "qfast", "q4fast", "q5fast",
                                    "q6fast", "s4fast", "w4a8g", "q4bc",
-                                   "bc4a8"):
+                                   "bc4a8", "bc5a8"):
         # kernels and the parity int-dot take 2D x; fold leading dims
         lead = x.shape[:-1]
         y = matmul(x.reshape(-1, x.shape[-1]), lin)
@@ -471,6 +472,26 @@ def matmul(x, lin: Linear):
         q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
         d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
         return qmm.qmm_bc4a8_reference(x, q, d, group=g)
+    if lin.kind == "bc5a8":
+        # 5-bit bitcast + grouped s8 integer dots: row-pair nibble plane +
+        # row-quad i2 sign plane, value = n + 8*sigma (qmm.py bc5a8
+        # section) — INT5G<group> semantics, 0.75 B/elem on the bus
+        from rwkv_tpu.ops import qmm
+
+        g = group_of(lin.fmt)
+        inn, out = lin.shape
+        if jax.default_backend() == "tpu" and qmm.bc5a8_aligned(inn, out, g):
+            xt, da = qmm.quantize_acts_s8(x)
+            if lin.layer is not None:
+                return qmm.qmm_bc5a8_stacked(xt, lin.q, lin.qh, lin.d,
+                                             lin.layer, group=g) * da
+            if lin.q.ndim == 2:
+                return qmm.qmm_bc5a8_stacked(xt, lin.q[None], lin.qh[None],
+                                             lin.d[None], 0, group=g) * da
+        q = lin.q if lin.layer is None else _take_layer(lin.q, lin.layer)
+        qh = lin.qh if lin.layer is None else _take_layer(lin.qh, lin.layer)
+        d = lin.d if lin.layer is None else _take_layer(lin.d, lin.layer)
+        return qmm.qmm_bc5a8_reference(x, q, qh, d, group=g)
     if lin.kind == "q4bc":
         # bitcast-unpack 4-bit path: row-pair packed signed nibbles, in-VMEM
         # pltpu.bitcast reinterpret + one hardware convert per element
@@ -534,6 +555,8 @@ def multi_aligned_for_kernel(lin: Linear, n_parts: int) -> bool:
         return qmm.aligned_w4a8(inn, out // n_parts, g)
     if lin.kind == "bc4a8":
         return qmm.bc4a8_aligned(inn, out // n_parts, g)
+    if lin.kind == "bc5a8":
+        return qmm.bc5a8_aligned(inn, out // n_parts, g)
     if lin.kind in ("q4fast", "q5fast", "q6fast", "q4bc"):
         return qmm.aligned_i4(inn, out, g)
     return qmm.aligned_for_kernel(inn, out, g)
@@ -593,6 +616,14 @@ def matmul_multi(xs: list, lin: Linear):
         eo = y.shape[-1] // n
         return [(y[..., i * eo:(i + 1) * eo] * qa[i][1]).reshape(*lead, eo)
                 for i in range(n)]
+    elif lin.kind == "bc5a8" and use_kernel:
+        qa = [qmm.quantize_acts_s8(x) for x in x2]
+        y = qmm.qmm_bc5a8_stacked_multi(
+            jnp.stack([xt for xt, _ in qa]), lin.q, lin.qh, lin.d,
+            lin.layer, n, group=group_of(lin.fmt))
+        eo = y.shape[-1] // n
+        return [(y[..., i * eo:(i + 1) * eo] * qa[i][1]).reshape(*lead, eo)
+                for i in range(n)]
     elif lin.kind in ("q5fast", "q6fast") and use_kernel:
         b5, hi5 = i5_spec(lin.fmt)
         y = qmm.qmm_i5_stacked_multi(
@@ -630,6 +661,13 @@ def matmul_multi(xs: list, lin: Linear):
         elif lin.kind == "bc4a8":
             y = jnp.concatenate(
                 [qmm.qmm_bc4a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                         d[:, i * eo:(i + 1) * eo], group=g)
+                 for i in range(n)], axis=-1)
+        elif lin.kind == "bc5a8":
+            qh = lin.qh if lin.layer is None else _take_layer(lin.qh, lin.layer)
+            y = jnp.concatenate(
+                [qmm.qmm_bc5a8_reference(x2[i], q[:, i * eo:(i + 1) * eo],
+                                         qh[:, i * eo:(i + 1) * eo],
                                          d[:, i * eo:(i + 1) * eo], group=g)
                  for i in range(n)], axis=-1)
         elif lin.kind == "q4bc":
@@ -673,7 +711,7 @@ def stack(lins: list) -> Linear:
     kinds = {l.kind for l in lins}
     fmts = {l.fmt for l in lins}
     packed = {"quant", "qfast", "q4fast", "q5fast", "q6fast", "s4fast",
-              "w4a8g", "q4bc", "bc4a8"}
+              "w4a8g", "q4bc", "bc4a8", "bc5a8"}
     if len(kinds) > 1 or (kinds <= packed and len(fmts) > 1):
         dense = [to_dense_f32(l) for l in lins]
         return Linear(w=np.stack([l.w for l in dense]), kind="dense")
@@ -830,6 +868,48 @@ def quantize_dense_bc4a8_device(lin: Linear, group: int = 128) -> Linear:
     return Linear(q=q, d=d, m=None, kind="bc4a8", fmt=fmt)
 
 
+def quantize_dense_bc5a8_device(lin: Linear, group: int = 128) -> Linear:
+    """Dense Linear -> 5-bit bitcast + grouped-integer-dot Linear
+    (kind='bc5a8', fmt='INT5G<group>'). Signed 5-bit codes
+    s = clip(round(w/d), -16, 15), d = absmax/15 per group, split exactly
+    as s = n + 8*sigma: n row-pair packed s4 (q, free bitcast unpack),
+    sigma in {-1,+1} row-quad packed i2 (qh, free bitcast unpack) — 0.75
+    B/elem on the bus with a two-convert VPU interior feeding K=<group>
+    s8xs8 MXU dots (qmm.py bc5a8 section). The Q5-class quality point at
+    integer-dot speed; the reference's Q5_1 analogue is its quality sweet
+    spot (/root/reference/README.md:28)."""
+    if lin.kind == "bc5a8":
+        return lin
+    if lin.kind != "dense":
+        lin = to_dense_f32(lin)
+    while group > 32 and lin.w.shape[-2] % group:
+        group //= 2
+    fmt = f"INT5G{group}"
+
+    @jax.jit
+    def _q(w):
+        w = w.astype(jnp.float32)  # (..., in, out) contraction-major
+        *lead, inn, o = w.shape
+        b = w.reshape(*lead, inn // group, group, o)
+        amax = jnp.max(jnp.abs(b), axis=-2)
+        d = (amax / jnp.float32(15.0)).astype(jnp.bfloat16)
+        df = d.astype(jnp.float32)
+        inv = jnp.where(df > 0, 1.0 / df, 0.0)
+        s = jnp.clip(jnp.round(b * inv[..., None, :]), -16, 15)
+        u = (s + 16).astype(jnp.int32).reshape(*lead, inn, o)  # [0, 31]
+        nb_bits = (u & 15) ^ 8            # s4 two's-complement bits of n
+        nib = (nb_bits[..., 0::2, :] | (nb_bits[..., 1::2, :] << 4)) \
+            .astype(jnp.uint8)
+        sg_bits = ((u >> 4) * 2 - 1) & 3  # i2 bits of sigma in {-1,+1}
+        r4 = sg_bits.reshape(*lead, inn // 4, 4, o)
+        shifts = (2 * jnp.arange(4, dtype=jnp.int32)).reshape(4, 1)
+        sig = jnp.sum(r4 << shifts, axis=-2).astype(jnp.uint8)
+        return nib, sig, d
+
+    nib, sig, d = _q(lin.w)
+    return Linear(q=nib, qh=sig, d=d, m=None, kind="bc5a8", fmt=fmt)
+
+
 def quantize_dense_i5_device(lin: Linear, group: int = 32) -> Linear:
     """Dense Linear -> packed 5-bit Linear (kind='q5fast', fmt='INT5'),
     computed on device under jit: d = absmax/15, code =
@@ -973,6 +1053,10 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         # bitcast + grouped s8 dots, the DMA-bound 4-bit path (group 128/256)
         "w4a8bc": quantize_dense_bc4a8_device,
         "w4a8bc256": _ft.partial(quantize_dense_bc4a8_device, group=256),
+        # the Q5-class quality point on the same bitcast/integer-dot path:
+        # nibble + i2 sign planes, 0.75 B/elem (qmm.py bc5a8 section)
+        "w5a8bc": quantize_dense_bc5a8_device,
+        "w5a8bc256": _ft.partial(quantize_dense_bc5a8_device, group=256),
         # coarse-group w4a8 variants: each per-group integer dot contracts
         # K=64/128/256 — filling the MXU's pipelined contraction depth that
         # K=32 group dots leave 4x idle (measured: g=32 w4a8 is SLOWER than
@@ -1002,7 +1086,7 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         layers[k] = convert(layers[k])
     if merge_rkv and mode in ("block", "int4", "int4bc", "int5", "w4a8",
                               "w4a8g64", "w4a8g128", "w4a8g256",
-                              "w4a8bc", "w4a8bc256"):
+                              "w4a8bc", "w4a8bc256", "w5a8bc", "w5a8bc256"):
         # fuse the r/k/v (+ gate, for v5.2/v6) projections — same in-dim,
         # inputs available at the same point in the layer — into ONE kernel
         # call per layer (qmm_stacked_multi / qmm_i4_stacked_multi),
@@ -1016,7 +1100,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
         want_kind = {"block": "qfast", "int4": "q4fast", "int4bc": "q4bc",
                      "int5": "q5fast", "w4a8": "w4a8g", "w4a8g64": "w4a8g",
                      "w4a8g128": "w4a8g", "w4a8g256": "w4a8g",
-                     "w4a8bc": "bc4a8", "w4a8bc256": "bc4a8"}[mode]
+                     "w4a8bc": "bc4a8", "w4a8bc256": "bc4a8",
+                     "w5a8bc": "bc5a8", "w5a8bc256": "bc5a8"}[mode]
         if all(isinstance(l, Linear) and l.kind == want_kind and l.m is None
                for l in parts) and len({l.q.shape for l in parts}) == 1:
             # merging is always safe: matmul_multi gates the fused kernel on
@@ -1052,6 +1137,8 @@ def quantize_params_device(params, keys=None, mode: str = "block",
             "w4a8g256": lambda: True,
             "w4a8bc": lambda: True,
             "w4a8bc256": lambda: True,
+            "w5a8bc": lambda: True,
+            "w5a8bc256": lambda: True,
         }[hmode]()
         if ok:
             hq = quantizers[hmode](hd)
@@ -1071,7 +1158,7 @@ def to_dense_f32(lin: Linear) -> Linear:
         w = np.asarray(lin.q).astype(np.float32) * np.asarray(lin.d, np.float32)[..., None, :]
         return Linear(w=np.ascontiguousarray(w), kind="dense")
     if lin.kind in ("qfast", "q4fast", "q5fast", "q6fast", "s4fast", "w4a8g",
-                    "q4bc", "bc4a8"):
+                    "q4bc", "bc4a8", "bc5a8"):
         # q (..., in, out) contraction-major: dequant straight to dense (in, out)
         if lin.kind in ("q4fast", "w4a8g"):
             qp = np.asarray(lin.q).astype(np.int32)
@@ -1082,6 +1169,11 @@ def to_dense_f32(lin: Linear) -> Linear:
             hi = ((qp >> 4) ^ 8) - 8
             *lead_, inn2_, o_ = qp.shape
             codes = np.stack([lo, hi], axis=-2).reshape(*lead_, 2 * inn2_, o_)
+        elif lin.kind == "bc5a8":
+            from rwkv_tpu.ops import qmm
+
+            codes = np.asarray(qmm.unpack_bc5(np.asarray(lin.q),
+                                              np.asarray(lin.qh)))
         elif lin.kind in ("q5fast", "q6fast"):
             from rwkv_tpu.ops import qmm
 

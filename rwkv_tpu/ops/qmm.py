@@ -1294,6 +1294,30 @@ def _bc4a8_accum(qb, xt, d, acc_ref, *, group):
             )                                 # (TT, OT) i32
             acc_ref[...] += z.astype(jnp.float32) * d[g][None, :]
         return
+    if BC4A8_INTERIOR == "halves" and nb % 2 == 0:
+        # two sub-chunks: chunk 1's astype can run under chunk 0's dots,
+        # at O(1) compile cost (the fully-unrolled "groups" form measured
+        # >600 s Mosaic compiles at nb=8 7B shapes). lax.slice_in_dim +
+        # expand_dims, NOT `d[a:b, None, :]` — the latter lowers through
+        # Mosaic's gather rule and fails shape validation.
+        hb = nb // 2
+        for c in range(2):
+            wc = pltpu.bitcast(
+                jax.lax.slice_in_dim(qb, c * hb * gp, (c + 1) * hb * gp,
+                                     axis=0),
+                jnp.int4).astype(jnp.int8)
+            z = jax.lax.dot_general(
+                jax.lax.slice_in_dim(xt, c * hb * group,
+                                     (c + 1) * hb * group,
+                                     axis=0).reshape(hb, group, tt),
+                wc.reshape(hb, group, ot),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )                                 # (hb, TT, OT) i32
+            dc = jax.lax.slice_in_dim(d, c * hb, (c + 1) * hb, axis=0)
+            acc_ref[...] += jnp.sum(
+                z.astype(jnp.float32) * jnp.expand_dims(dc, 1), axis=0)
+        return
     w = pltpu.bitcast(qb, jnp.int4).astype(jnp.int8)        # (2*ITp, OT)
     if BC4A8_INTERIOR == "groupdots":
         for g in range(nb):
@@ -1447,6 +1471,248 @@ def qmm_bc4a8_reference(x, q, d, group: int = 128):
         preferred_element_type=jnp.int32,
     )
     y = jnp.sum(z.astype(jnp.float32) * d.astype(jnp.float32)[:, None, :], axis=0)
+    return y * da
+
+
+# ---------------------------------------------------------------------------
+# bc5a8: the 5-bit extension of the bc4a8 path (INT5G<group> serving class).
+# A signed 5-bit code s in [-16, 15] splits EXACTLY into
+#     s = n + 8*sigma,   n = ((s + 16) & 15) - 8 in [-8, 7],  sigma in {-1,+1}
+# (sigma = +1 iff s >= 0 ... precisely: s >= 0 <=> high bit of s+16 set).
+# Both planes unpack for FREE with pltpu.bitcast:
+#   - n: the same row-pair packed s4 layout as bc4a8 (0.5 B/elem);
+#   - sigma: ROW-QUAD packed two's-complement 2-bit codes (-1 = 0b11,
+#     +1 = 0b01), bitcast(u8, int2) -> 4 sublane rows per byte (0.25 B/elem).
+# Total 0.75 B/elem on the bus (vs 0.625 for the ggml Q5 block formats and
+# 1.0 for int8) with a ~2-convert/elem VPU interior instead of the
+# bit-plane shift/mask chain that VPU-binds the q5fast kernels
+# (docs/KERNELS.md "The VPU-dequant wall").
+# Interiors (module knob, model-level measured):
+#   "twodot": z = dot(x, n) + (dot(x, sigma) << 3) — two s8 MXU dots per
+#     group, zero extra VPU work beyond the two astypes;
+#   "onedot": w = n + sigma*8 reassembled in s8 registers — one dot, +2 VPU
+#     ops/elem (requires i8 mul to legalize in Mosaic).
+# ---------------------------------------------------------------------------
+
+BC5A8_INTERIOR = "twodot"
+
+
+def pack_i2_rowquad(codes):
+    """Signed codes (..., in, out) in [-2, 1] -> (..., in/4, out) uint8
+    row-quad packed two's-complement 2-bit fields: byte row r holds rows
+    4r..4r+3 in bit pairs (0:1), (2:3), (4:5), (6:7) (lo-first, matching
+    pltpu.bitcast(u8, int2) sublane order). numpy in, numpy out."""
+    import numpy as np
+
+    s = np.asarray(codes).astype(np.int32)
+    if s.min() < -2 or s.max() > 1:
+        raise ValueError(f"codes outside [-2,1]: [{s.min()}, {s.max()}]")
+    s = s & 3
+    *lead, inn, out = s.shape
+    if inn % 4:
+        raise ValueError(f"contraction dim {inn} must be a multiple of 4")
+    r = s.reshape(*lead, inn // 4, 4, out)
+    shifts = (2 * np.arange(4, dtype=np.int64)).reshape(4, 1)
+    return (r << shifts).sum(axis=-2).astype(np.uint8)
+
+
+def unpack_i2_rowquad(qp):
+    """(..., in/4, out) uint8 -> (..., in, out) int32 signed 2-bit codes
+    (jnp; CPU-safe reference unpack, row 4r+j = bits 2j:2j+1)."""
+    qi = qp.astype(jnp.int32)
+    *lead, inn4, out = qi.shape
+    fields = jnp.stack([((qi >> (2 * j)) & 3) for j in range(4)], axis=-2)
+    return (((fields ^ 2) - 2)).reshape(*lead, 4 * inn4, out)
+
+
+def pack_bc5_signed(codes):
+    """Signed 5-bit codes (..., in, out) in [-16, 15] -> (nib, sig):
+    nib (..., in/2, out) uint8 row-pair packed s4 nibble plane n,
+    sig (..., in/4, out) uint8 row-quad packed i2 sign plane sigma,
+    with value = n + 8*sigma. numpy in, numpy out."""
+    import numpy as np
+
+    s = np.asarray(codes).astype(np.int32)
+    if s.min() < -16 or s.max() > 15:
+        raise ValueError(f"codes outside [-16,15]: [{s.min()}, {s.max()}]")
+    u = s + 16                      # [0, 31]
+    n = (u & 15) - 8                # [-8, 7]
+    sigma = (u >> 4) * 2 - 1        # {-1, +1}
+    return pack_bc4_signed(n), pack_i2_rowquad(sigma)
+
+
+def unpack_bc5(nib, sig):
+    """(nib, sig) planes -> (..., in, out) int32 signed codes [-16, 15]."""
+    return unpack_bc4(nib) + 8 * unpack_i2_rowquad(sig)
+
+
+def bc5a8_aligned(inn: int, out: int, group: int = 128) -> bool:
+    """Same feasibility rule as bc4a8 plus whole sign-plane tiles
+    (ITp % 2 == 0 — free, since ITp is a multiple of group/2 >= 16)."""
+    return bc4a8_aligned(inn, out, group)
+
+
+def _bc5a8_accum(nb_ref_tile, sig_tile, xt, d, acc_ref, *, group):
+    """Accumulate xt^T . dequant(nib, sig) into acc_ref. nb_ref_tile
+    (ITp, OT) u8 row-pair nibbles, sig_tile (ITp/2, OT) u8 row-quad signs,
+    xt (2*ITp, TT) s8, d (nb, OT) f32."""
+    it, tt = xt.shape
+    ot = nb_ref_tile.shape[-1]
+    nb = it // group
+    n = pltpu.bitcast(nb_ref_tile, jnp.int4).astype(jnp.int8)   # (2*ITp, OT)
+    sg = pltpu.bitcast(sig_tile, jnp.int2).astype(jnp.int8)     # (2*ITp, OT)
+    dn = (((1,), (1,)), ((0,), (0,)))
+    if BC5A8_INTERIOR == "onedot":
+        w = n + sg * jnp.int8(8)
+        z = jax.lax.dot_general(
+            xt.reshape(nb, group, tt), w.reshape(nb, group, ot),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+    else:
+        z1 = jax.lax.dot_general(
+            xt.reshape(nb, group, tt), n.reshape(nb, group, ot),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        z2 = jax.lax.dot_general(
+            xt.reshape(nb, group, tt), sg.reshape(nb, group, ot),
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        z = z1 + (z2 << 3)
+    acc_ref[...] += jnp.sum(z.astype(jnp.float32) * d[:, None, :], axis=0)
+
+
+def _qmm_bc5a8_stacked_kernel(l_ref, xt_ref, q_ref, s_ref, d_ref, o_ref,
+                              acc_ref, *, group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _bc5a8_accum(q_ref[0], s_ref[0], xt_ref[...],
+                 d_ref[0].astype(jnp.float32), acc_ref, group=group)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "out_dtype", "tiles"))
+def qmm_bc5a8_stacked(xt, q, s, d, layer, group: int = 128,
+                      out_dtype=jnp.float32, tiles=None):
+    """Layer-stacked 5-bit bitcast + grouped-integer-dot matmul: xt (in, T)
+    int8 activations (quantize_acts_s8, contraction-major), q (L, in/2, out)
+    uint8 row-pair nibble plane, s (L, in/4, out) uint8 row-quad sign plane
+    (pack_bc5_signed), d (L, in//group, out) per-group scales. Returns
+    UNSCALED (T, out) f32 — multiply by the caller's activation scale da."""
+    inn, t = xt.shape
+    out = q.shape[2]
+    inn2 = inn // 2
+    if not bc5a8_aligned(inn, out, group):
+        raise ValueError(f"bc5a8 kernel needs out % 128 == 0 and a feasible "
+                         f"packed-row tile, got (in={inn}, out={out}); use "
+                         f"qmm_bc5a8_reference")
+    TT, OT, ITp = _i4_tiles(t, inn, out, 1, tiles)
+    ITp = _grouped_itp(inn2, max(group // 2, 8), 4 * group, ITp)
+    dg = 2 * ITp // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((2 * ITp, TT), lambda r, o, i, l: (i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // 2, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc5a8_stacked_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xt, q, s, d)
+
+
+def _qmm_bc5a8_stacked_multi_kernel(l_ref, xt_ref, q_ref, s_ref, d_ref,
+                                    o_ref, acc_ref, *, group, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    _bc5a8_accum(q_ref[0], s_ref[0], xt_ref[0],
+                 d_ref[0].astype(jnp.float32), acc_ref, group=group)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_parts", "group", "out_dtype",
+                                             "tiles"))
+def qmm_bc5a8_stacked_multi(xts, q, s, d, layer, n_parts: int,
+                            group: int = 128, out_dtype=jnp.float32,
+                            tiles=None):
+    """N projections through one bc5a8 pipeline (see qmm_bc4a8_stacked_multi
+    for the layout contract; adds the (L, in/4, N*Eo) sign plane)."""
+    n, inn, t = xts.shape
+    out = q.shape[2]
+    assert n == n_parts and out % n_parts == 0
+    eo = out // n_parts
+    inn2 = inn // 2
+    if not bc5a8_aligned(inn, eo, group):
+        raise ValueError(f"bc5a8 multi kernel needs eo % 128 == 0 and a "
+                         f"feasible packed-row tile, got (in={inn}, "
+                         f"eo={eo}); use qmm_bc5a8_reference")
+    TT, OT, ITp = _i4_tiles(t, inn, eo, 1, tiles)
+    ITp = _grouped_itp(inn2, max(group // 2, 8), 4 * group, ITp)
+    per = eo // OT
+    dg = 2 * ITp // group
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // TT, out // OT, inn2 // ITp),
+        in_specs=[
+            pl.BlockSpec((1, 2 * ITp, TT),
+                         lambda r, o, i, l, per=per: (o // per, i, r),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ITp // 2, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dg, OT), lambda r, o, i, l: (l[0], i, o),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TT, OT), lambda r, o, i, l: (r, o),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TT, OT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_qmm_bc5a8_stacked_multi_kernel, group=group,
+                          out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, out), out_dtype),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xts, q, s, d)
+
+
+def qmm_bc5a8_reference(x, q, s, d, group: int = 128):
+    """jnp reference for the bc5a8 path (CPU-safe): unpack both planes,
+    quantize activations per-row to s8, grouped int dots, per-group rescale
+    of the int32 partial sums."""
+    xt, da = quantize_acts_s8(x)
+    codes = unpack_bc5(q, s)              # (in, out) int32 signed [-16, 15]
+    inn, out = codes.shape[-2], codes.shape[-1]
+    nb = inn // group
+    z = jax.lax.dot_general(
+        xt.astype(jnp.int32).reshape(nb, group, -1),
+        codes.reshape(nb, group, out),
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+    y = jnp.sum(z.astype(jnp.float32) * d.astype(jnp.float32)[:, None, :],
+                axis=0)
     return y * da
 
 

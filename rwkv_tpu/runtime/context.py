@@ -64,7 +64,9 @@ class Context:
                         "int4bc": "int4bc", "int5": "int5", "w8a8": "w8a8",
                         "w4a8": "w4a8", "w4a8g64": "w4a8g64",
                         "w4a8g128": "w4a8g128", "w4a8g256": "w4a8g256",
-                        "w4a8bc": "w4a8bc", "w4a8bc256": "w4a8bc256"}.get(quantize)
+                        "w4a8bc": "w4a8bc", "w4a8bc256": "w4a8bc256",
+                        "w5a8bc": "w5a8bc",
+                        "w5a8bc256": "w5a8bc256"}.get(quantize)
                 if mode is None:
                     raise RWKVArgsError(f"unknown quantize mode {quantize!r}")
                 params = quantize_params_device(params, mode=mode)

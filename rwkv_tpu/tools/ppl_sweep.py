@@ -36,7 +36,8 @@ DEFAULT_FORMATS = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "FP16", "FP32")
 # on-device serving quantization modes (Context(quantize=...)) — lowercase to
 # distinguish from file formats; "size" is the in-HBM weight footprint
 SERVING_MODES = ("int8", "int4", "int4bc", "int5", "w8a8", "w4a8",
-                 "w4a8g64", "w4a8g128", "w4a8g256", "w4a8bc", "w4a8bc256")
+                 "w4a8g64", "w4a8g128", "w4a8g256", "w4a8bc", "w4a8bc256",
+                 "w5a8bc", "w5a8bc256")
 
 
 def _params_gb(params) -> float:

@@ -620,6 +620,65 @@ def test_qmm_bc4a8_interior_variants(interior):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("g", [128, 256])
+def test_qmm_bc5a8_interpret(g):
+    """bc5a8 (nibble + i2 sign planes, grouped s8 dots): pack/unpack
+    roundtrip is exact; kernel matches the grouped jnp reference, stacked
+    and multi."""
+    inn, out, t, L = 2048, 256, 8, 2
+    codes = RNG.integers(-16, 16, size=(L, inn, out)).astype(np.int8)
+    nib, sig = qmm.pack_bc5_signed(codes)
+    rt = np.asarray(qmm.unpack_bc5(jnp.asarray(nib), jnp.asarray(sig)))
+    assert np.array_equal(rt, codes.astype(np.int32))
+    d = jnp.asarray(RNG.standard_normal((L, inn // g, out)).astype(np.float32) * 0.01)
+    x = jnp.asarray(RNG.standard_normal((t, inn)).astype(np.float32))
+    nibj, sigj = jnp.asarray(nib), jnp.asarray(sig)
+    ref = np.asarray(qmm.qmm_bc5a8_reference(x, nibj[1], sigj[1], d[1], group=g))
+    xt, da = qmm.quantize_acts_s8(x)
+    xts = jnp.stack([xt, xt])
+    n2 = jnp.concatenate([nibj, nibj], axis=2)
+    s2 = jnp.concatenate([sigj, sigj], axis=2)
+    d2 = jnp.concatenate([d, d], axis=2)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(qmm.qmm_bc5a8_stacked(xt, nibj, sigj, d, 1, group=g))
+        ym = np.asarray(qmm.qmm_bc5a8_stacked_multi(xts, n2, s2, d2, 1, 2,
+                                                    group=g))
+    np.testing.assert_allclose(y * np.asarray(da), ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ym[:, :out] * np.asarray(da), ref, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_quantize_params_w5a8bc_forward():
+    """mode='w5a8bc' end-to-end on a real tiny model (merged rkv): bc5a8
+    Linears, logits in the 5-bit band vs dense (tighter than the 4-bit
+    band), and to_dense_f32 roundtrips the planes."""
+    from rwkv_tpu.models import forward as F
+    from rwkv_tpu.models import params as P
+    from rwkv_tpu.ops.linear import quantize_params_device, to_dense_f32
+    from tests.common import PROMPT, fixture
+
+    cfg, prm = P.load_params(fixture("tiny-rwkv-5v2-730K-FP32.bin"), parity=False)
+    st = F.init_state(cfg)
+    logits_dense, _ = F.forward(prm, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    qw = quantize_params_device(prm, mode="w5a8bc", merge_rkv=True)
+    kinds = {v.kind for v in qw["layers"].values() if hasattr(v, "kind")}
+    assert "bc5a8" in kinds, kinds
+    logits_q, _ = F.forward(qw, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q))[0, 1]
+    assert c > 0.985, c
+    # 5-bit codes must beat the 4-bit mode's correlation on the same model
+    q4 = quantize_params_device(prm, mode="w4a8bc", merge_rkv=True)
+    logits_q4, _ = F.forward(q4, cfg, jnp.asarray(PROMPT, jnp.int32), st, jnp.int32(3))
+    c4 = np.corrcoef(np.asarray(logits_dense), np.asarray(logits_q4))[0, 1]
+    assert c >= c4 - 1e-3, (c, c4)
+    # dense roundtrip of one bc5a8 Linear stays within the 5-bit grid step
+    lin = next(v for v in qw["layers"].values()
+               if hasattr(v, "kind") and v.kind == "bc5a8")
+    import jax
+    wq = to_dense_f32(jax.tree.map(lambda a: np.asarray(a), lin)).w
+    assert wq.shape[-2:] == lin.shape
+
+
 def test_quantize_params_w4a8bc_forward():
     """mode='w4a8bc' end-to-end on a real tiny model (merged rkv): bc4a8
     Linears, logits in the coarse-group 4-bit band vs dense."""
