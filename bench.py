@@ -272,6 +272,18 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"{label} skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Q5-class ladder row: the quality point between int4 and int8 on the
+    # same bitcast/integer-dot path (the reference's Q5_1 is its quality
+    # sweet spot, /root/reference/README.md:28)
+    def _q5_row():
+        q5 = L.quantize_params_device(params, mode="w5a8bc", merge_rkv=True)
+        jax.block_until_ready(jax.tree.leaves(q5))
+        _measure_decode(q5, cfg, state, tok0, B, steps, reps,
+                        "decode int5-class w5a8bc (bitcast grouped-int "
+                        "serving, fused rkv)")
+
+    _extra("Q5-class decode", _q5_row)
+
     def _large_batch():
         for BL in (32, 128):
             stateL = G.batched_init_state(cfg, BL)
