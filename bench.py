@@ -379,6 +379,13 @@ def main():
         # head LOSES at 8 logit rows (docs/KERNELS.md)
         p7 = dict(p7)
         p7["head"] = L.quantize_dense_bc4_device(p7["head"])
+        # merged rkv measured +3.6% at 7B (9.51 -> 9.18 ms/step, round 5):
+        # ~200 pallas calls/step shrink by 64, ~5 us fixed cost each
+        layers7 = dict(p7["layers"])
+        layers7["att_rkv"] = L.merge_qfast(
+            [layers7.pop("att_r"), layers7.pop("att_k"),
+             layers7.pop("att_v")])
+        p7["layers"] = layers7
         jax.block_until_ready(jax.tree.leaves(p7))
         print(f"7B-class w4a8bc(+bc4 head) params built in {time.time()-t0:.1f}s",
               file=sys.stderr)
