@@ -92,26 +92,52 @@ STEP_KERNEL_MIN_BH = 512
 
 
 def _wkv7_step_dispatch(r, w, k, v, a, b, heads):
-    if (
+    """`heads` is either this layer's (B, H, S, S) state, or a tuple
+    (heads_full (L, B, H, S, S), layer_idx) — the L-stacked form lets the
+    Pallas step kernel advance slot `layer` IN PLACE (aliased), removing
+    the per-layer copy-back into the stacked array that cost 1.2 ms/step
+    at B=32 serving (docs/KERNELS.md round-5 serving profile). Either form
+    returns its own shape back."""
+    stacked = isinstance(heads, tuple)
+    use_kernel = (
         r.ndim == 3
         and r.shape[0] * r.shape[1] >= STEP_KERNEL_MIN_BH
         and jax.default_backend() == "tpu"
-    ):
+    )
+    if use_kernel:
+        if stacked:
+            from rwkv_tpu.ops.pallas_wkv import wkv7_step_batched_lstacked
+
+            return wkv7_step_batched_lstacked(r, w, k, v, a, b, *heads)
         from rwkv_tpu.ops.pallas_wkv import wkv7_step_batched
 
         return wkv7_step_batched(r, w, k, v, a, b, heads)
+    if stacked:
+        full, idx = heads
+        out, st = wkv_ops.wkv7_step(r, w, k, v, a, b, full[idx])
+        return out, full.at[idx].set(st.astype(full.dtype))
     return wkv_ops.wkv7_step(r, w, k, v, a, b, heads)
 
 
 def _wkv56_step_dispatch(r, k, v, tf, w, heads):
-    """Kernel dispatch for the v5/v6 decode step. Unlike v7 (which only wins
-    from BH=512 up), the fused step kernel beats XLA's fusion of the v5/v6
-    jnp step at EVERY batch size (v5e int8 1.5B v6: +22% tok/s at B=8, +27%
-    B=16, +52% B=64), so it is unconditional on TPU."""
+    """Kernel dispatch for the v5/v6 decode step (same (B, H, S, S)-or-
+    (full, idx) contract as _wkv7_step_dispatch). Unlike v7 (which only
+    wins from BH=512 up), the fused step kernel beats XLA's fusion of the
+    v5/v6 jnp step at EVERY batch size (v5e int8 1.5B v6: +22% tok/s at
+    B=8, +27% B=16, +52% B=64), so it is unconditional on TPU."""
+    stacked = isinstance(heads, tuple)
     if r.ndim == 3 and jax.default_backend() == "tpu":
+        if stacked:
+            from rwkv_tpu.ops.pallas_wkv import wkv56_step_batched_lstacked
+
+            return wkv56_step_batched_lstacked(r, k, v, tf, w, *heads)
         from rwkv_tpu.ops.pallas_wkv import wkv56_step_batched
 
         return wkv56_step_batched(r, k, v, tf, w, heads)
+    if stacked:
+        full, idx = heads
+        out, st = wkv_ops.wkv56_step(r, k, v, tf, w, full[idx])
+        return out, full.at[idx].set(st.astype(full.dtype))
     return wkv_ops.wkv56_step(r, k, v, tf, w, heads)
 
 
@@ -614,8 +640,18 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
     vectors = {k: v for k, v in params["layers"].items()
                if not isinstance(v, linear_mod.Linear)}
 
+    # The (L, B, H, S, S) heads state rides the CARRY as one stacked array
+    # (v5+): the step dispatch advances slot idx in place — the Pallas step
+    # kernels via an aliased scalar-prefetch write, the jnp step via a
+    # static-index .at[].set that fuses like the old scan-ys stacking did.
+    # Riding the scan ys instead forced a per-layer copy of each kernel's
+    # output back into the stacked array (24 x 51 us/step at B=32 serving).
+    heads_full = st_layers.get("heads") if major >= 5 else None
+    xs_state = ({k: v for k, v in st_layers.items() if k != "heads"}
+                if major >= 5 else st_layers)
+
     def layer_fn(carry, xs):
-        x, v_first = carry
+        x, v_first, heads_full = carry
         vecs, st, idx = xs
         lp = {**vecs, **{k: linear_mod.at_layer(v, idx) for k, v in weights.items()}}
 
@@ -626,16 +662,21 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
             att_out, new4 = _att_v4(lp, x_ln1, x_prev1, st, None, step=True)
             new_st = {"att_xx": att_xx, **new4}
         elif major == 5:
-            att_out, heads = _att_v5(lp, x_ln1, x_prev1, st["heads"], None, cfg, step=True)
-            new_st = {"att_xx": att_xx, "heads": heads}
+            att_out, heads_full = _att_v5(lp, x_ln1, x_prev1,
+                                          (heads_full, idx), None, cfg,
+                                          step=True)
+            new_st = {"att_xx": att_xx}
         elif major == 6:
-            att_out, heads = _att_v6(lp, x_ln1, x_prev1, st["heads"], None, cfg, step=True)
-            new_st = {"att_xx": att_xx, "heads": heads}
+            att_out, heads_full = _att_v6(lp, x_ln1, x_prev1,
+                                          (heads_full, idx), None, cfg,
+                                          step=True)
+            new_st = {"att_xx": att_xx}
         else:
-            att_out, heads, v_first = _att_v7(
-                lp, x_ln1, x_prev1, st["heads"], v_first, idx, None, cfg, step=True
+            att_out, heads_full, v_first = _att_v7(
+                lp, x_ln1, x_prev1, (heads_full, idx), v_first, idx, None,
+                cfg, step=True
             )
-            new_st = {"att_xx": att_xx, "heads": heads}
+            new_st = {"att_xx": att_xx}
         x = x + att_out.astype(x.dtype)
 
         x_ln2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"])
@@ -649,19 +690,21 @@ def forward_step(params, cfg: ModelConfig, tokens, state, compute_logits: bool =
         x = x + ffn_out.astype(x.dtype)
 
         new_st["ffn_xx"] = ffn_xx
-        return (x, v_first), new_st
+        return (x, v_first, heads_full), new_st
 
     # layer loop fully unrolled: static layer indices let XLA fuse the
     # per-layer state slices/updates into the wkv compute and schedule
     # across layers; combined with the decode loops' step-unroll this
     # measured +23% decode throughput vs rolled scans (the step body is
     # small, so compile time stays manageable)
-    (x, _), new_state = jax.lax.scan(
+    (x, _, heads_full), new_state = jax.lax.scan(
         layer_fn,
-        (x, v_first0),
-        (vectors, st_layers, jnp.arange(cfg.n_layer)),
+        (x, v_first0, heads_full),
+        (vectors, xs_state, jnp.arange(cfg.n_layer)),
         unroll=True,
     )
+    if heads_full is not None:
+        new_state = dict(new_state, heads=heads_full)
     if not layer_major:
         new_state = jax.tree.map(lambda s: jnp.swapaxes(s, 0, 1), new_state)
 

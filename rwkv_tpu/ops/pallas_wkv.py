@@ -190,6 +190,143 @@ def wkv7_step_pallas_v2(vecs, state, head_block: int = 128):
     return out, st
 
 
+# ---------------------------------------------------------------------------
+# L-stacked IN-PLACE step kernels. The decode/serving state is layer-major
+# (L, B, H, S, S); with the per-layer kernels above, XLA must copy each
+# kernel's (B, H, S, S) output back into the stacked array — measured as 24
+# constant_dynamic-update-slice fusions of 51 us each at B=32 serving
+# (1.2 ms/step, scratch/traces/serve_w16). These variants take the FULL
+# stacked state plus the layer index as a scalar-prefetch arg, write only
+# slot `layer`, and alias the state input to the state output, so the
+# update is genuinely in place and the separate copy pass disappears.
+# ---------------------------------------------------------------------------
+
+
+def _wkv7_step_kernel_l(l_ref, r_ref, w_ref, k_ref, v_ref, a_ref, b_ref,
+                        s0_ref, out_ref, sT_ref):
+    s = s0_ref[0].astype(jnp.float32)                # (HB, Sv, Sk)
+    a = a_ref[...]
+    if STEP_MXU:
+        sa = _bmv(s, a)
+    else:
+        sa = jnp.sum(s * a[:, None, :], axis=2)      # (HB, Sv)
+    s = (
+        s * w_ref[...][:, None, :]
+        + v_ref[...][:, :, None] * k_ref[...][:, None, :]
+        + sa[:, :, None] * b_ref[...][:, None, :]
+    )
+    sT_ref[0] = s.astype(sT_ref.dtype)
+    if STEP_MXU:
+        out_ref[...] = _bmv(s, r_ref[...])
+    else:
+        out_ref[...] = jnp.sum(s * r_ref[...][:, None, :], axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv7_step_pallas_lstacked(r, w, k, v, a, b, state, layer,
+                              head_block: int = 128):
+    """One decode step against the FULL layer-stacked state: r/w/k/v/a/b
+    (BH, S) f32, state (L, BH, Sv, Sk) f32 or bf16, layer a scalar index.
+    Writes slot `layer` IN PLACE (input_output_aliases) and returns
+    (out (BH, S) f32, the same stacked state with slot `layer` advanced)."""
+    BH, S = r.shape
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    vec = pl.BlockSpec((HB, S), lambda h, l: (h, 0), memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((1, HB, S, S), lambda h, l: (l[0], h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH // HB,),
+        in_specs=[vec] * 6 + [st],
+        out_specs=[vec, st],
+    )
+    out, stf = pl.pallas_call(
+        _wkv7_step_kernel_l,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct(state.shape, state.dtype),
+        ],
+        # operand 0 is the scalar-prefetch layer index; state is operand 7
+        input_output_aliases={7: 1},
+    )(jnp.asarray(layer, jnp.int32).reshape(1), r, w, k, v, a, b, state)
+    return out, stf
+
+
+def wkv7_step_batched_lstacked(r, w, k, v, a, b, state, layer,
+                               head_block: int = 128):
+    """(B, H, S) vectors against (L, B, H, S, S) stacked state; returns
+    (out (B, H, S), updated stacked state)."""
+    B, H, S = r.shape
+    L = state.shape[0]
+    fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    out, stf = wkv7_step_pallas_lstacked(
+        fold(r), fold(w), fold(k), fold(v), fold(a), fold(b),
+        state.reshape(L, B * H, S, S), layer, head_block=head_block)
+    return out.reshape(B, H, S), stf.reshape(L, B, H, S, S)
+
+
+def _wkv56_step_kernel_l(l_ref, r_ref, k_ref, v_ref, w_ref, tf_ref, s0_ref,
+                         out_ref, sT_ref):
+    s = s0_ref[0].astype(jnp.float32)                # (HB, Sk, Sv)
+    k = k_ref[...]
+    v = v_ref[...]
+    kv = k[:, :, None] * v[:, None, :]
+    if STEP_MXU:
+        out_ref[...] = jax.lax.dot_general(
+            r_ref[...], s + tf_ref[...][:, :, None] * kv,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    else:
+        out_ref[...] = jnp.sum(
+            (s + tf_ref[...][:, :, None] * kv) * r_ref[...][:, :, None],
+            axis=1)
+    sT_ref[0] = (s * w_ref[...][:, :, None] + kv).astype(sT_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv56_step_pallas_lstacked(r, k, v, tf, w, state, layer,
+                               head_block: int = 128):
+    """v5/v6 twin of wkv7_step_pallas_lstacked: state (L, BH, Sk, Sv),
+    slot `layer` advanced in place."""
+    BH, S = r.shape
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    vec = pl.BlockSpec((HB, S), lambda h, l: (h, 0), memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((1, HB, S, S), lambda h, l: (l[0], h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH // HB,),
+        in_specs=[vec] * 5 + [st],
+        out_specs=[vec, st],
+    )
+    out, stf = pl.pallas_call(
+        _wkv56_step_kernel_l,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S), jnp.float32),
+            jax.ShapeDtypeStruct(state.shape, state.dtype),
+        ],
+        input_output_aliases={6: 1},
+    )(jnp.asarray(layer, jnp.int32).reshape(1), r, k, v, w, tf, state)
+    return out, stf
+
+
+def wkv56_step_batched_lstacked(r, k, v, tf, w, state, layer,
+                                head_block: int = 128):
+    """(B, H, S) vectors against (L, B, H, S, S) stacked state; tf/w may be
+    (H, S) (v5's constant decay) — broadcast here."""
+    B, H, S = r.shape
+    L = state.shape[0]
+    fold = lambda x: x.reshape(B * H, *x.shape[2:])
+    out, stf = wkv56_step_pallas_lstacked(
+        fold(r), fold(k), fold(v),
+        fold(jnp.broadcast_to(tf, (B, H, S))),
+        fold(jnp.broadcast_to(w, (B, H, S))),
+        state.reshape(L, B * H, S, S), layer, head_block=head_block)
+    return out.reshape(B, H, S), stf.reshape(L, B, H, S, S)
+
+
 def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 128):
     """Drop-in for ops/wkv.py::wkv7_step at (B, H, S) shapes."""
     B, H, S = r.shape

@@ -1,5 +1,5 @@
 """A/B the bc4a8 kernel interior schedule at model level (7B decode).
-Usage: python scratch/bc4a8_ab.py INTERIOR [1p5|7b] [B] [merge]
+Usage: python scratch/bc4a8_ab.py INTERIOR [1p5|7b] [B] [merge] [OTxIT]
 """
 import sys
 import time
@@ -42,7 +42,11 @@ if merge:
 jax.block_until_ready(jax.tree.leaves(params))
 print(f"params built {time.time()-t0:.1f}s", file=sys.stderr)
 
-qmm.apply_tuned_decode_tiles(cfg.n_embed)
+if len(sys.argv) > 5:
+    ot, it = (int(v) for v in sys.argv[5].split("x"))
+    qmm.DECODE_TILES_I4 = (ot, it)
+else:
+    qmm.apply_tuned_decode_tiles(cfg.n_embed)
 jax.clear_caches()
 
 steps = 48
@@ -61,7 +65,8 @@ for _ in range(reps):
                               state_bf16=True)
 _ = jax.device_get(toks)
 dt = (time.time() - t0) / reps
-print(f"RESULT BC4A8={interior} {size} B={B} merge={merge}: "
+print(f"RESULT BC4A8={interior} {size} B={B} merge={merge} "
+      f"tiles={qmm.DECODE_TILES_I4}: "
       f"{B*steps/dt:.1f} tok/s ({1000*dt/steps:.3f} ms/step)")
 
 import os

@@ -319,6 +319,48 @@ def test_step_kernel_knobs():
 
 
 @cpu_interpret
+def test_step_kernel_lstacked():
+    """The L-stacked in-place step kernels (scalar-prefetch layer index,
+    aliased state) advance EXACTLY one slot — matching the jnp step on that
+    slot and preserving every other slot bit-for-bit, for f32 and bf16
+    stacked carries, v7 and v5/v6."""
+    rng = np.random.default_rng(7)
+    L, B, H, S = 3, 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B, H, S)), jnp.float32)
+                        for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    tf, w6 = (jnp.asarray(rng.uniform(0.1, 1, (B, H, S)), jnp.float32)
+              for _ in range(2))
+    for dt in (jnp.float32, jnp.bfloat16):
+        tol = 2e-2 if dt == jnp.bfloat16 else 2e-5
+        full = jnp.asarray(rng.standard_normal((L, B, H, S, S)) * 0.1,
+                           jnp.float32).astype(dt)
+        for l in (0, 2):
+            o_ref, s_ref = ref.wkv7_step(r, w, k, v, a, b,
+                                         full[l].astype(jnp.float32))
+            with pltpu.force_tpu_interpret_mode():
+                o, stf = pk.wkv7_step_batched_lstacked(r, w, k, v, a, b,
+                                                       full, l)
+            assert stf.dtype == dt and stf.shape == full.shape
+            np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                       atol=tol, rtol=tol)
+            np.testing.assert_allclose(
+                np.asarray(stf[l].astype(jnp.float32)), np.asarray(s_ref),
+                atol=tol, rtol=tol)
+            for j in range(L):
+                if j != l:
+                    assert np.array_equal(np.asarray(stf[j]),
+                                          np.asarray(full[j])), j
+            o56r, _ = ref.wkv56_step(r, k, v, tf, w6,
+                                     full[l].astype(jnp.float32))
+            with pltpu.force_tpu_interpret_mode():
+                o56, _ = pk.wkv56_step_batched_lstacked(r, k, v, tf, w6,
+                                                        full, l)
+            np.testing.assert_allclose(np.asarray(o56), np.asarray(o56r),
+                                       atol=tol, rtol=tol)
+
+
+@cpu_interpret
 def test_wkv56_step_kernel():
     """Fused v5/v6 decode-step kernel vs the jnp step, incl. (H, S)-shaped
     constant decay broadcast (the v5 calling convention)."""
