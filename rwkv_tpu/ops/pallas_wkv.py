@@ -130,6 +130,165 @@ def wkv7_step_pallas(r, w, k, v, a, b, state, head_block: int = 128):
     return out, st
 
 
+# ---------------------------------------------------------------------------
+# Lane-packed wkv7 step kernels (round 5). The (HB, S, S) blocks of the v1
+# kernels above put S=64 in the lane dim, so every VPU op runs on half-empty
+# 128-lane vregs, and the two S-deep reductions (sa = s·a, out = s_new·r)
+# are 6-step lane shuffles — measured 35 us/call at BH=512 with the state
+# resident in VMEM, pure interior cost (scratch/step_bench_r5.py). The
+# packed variants view the state as (HB, S/2, 2S) = (HB, 32, 128) — two
+# consecutive sv rows side-by-side in the lane dim, a FREE row-major bitcast
+# reshape outside the kernel — so elementwise ops run on full vregs, and
+# each segmented reduction becomes ONE MXU dot against a constant
+# block-diagonal ones matrix M (128, 128): dot(t, M)[.., l] = sum of t's
+# half containing l — reduction AND broadcast-back in a single op.
+#
+# The MXU dots run at DEFAULT precision (operands rounded to bf16), so the
+# kernel is exact only to ~1e-3 relative — the same error class as the bf16
+# state carry itself. Dispatch (wkv7_step_batched*) therefore uses the
+# packed form ONLY for bf16-carried state (the serving/decode state_bf16
+# regime where BH >= 512 perf matters); f32 states keep the exact v1 form.
+# Measured (isolated, VMEM-resident state): 33 vs 44 us/call at BH=512,
+# 60 vs 67 at BH=1024.
+# ---------------------------------------------------------------------------
+
+
+def _packed_consts(HB):
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    M = ((row < 64) == (col < 64)).astype(jnp.float32)
+    ER = ((row // 64) == (col % 2)).astype(jnp.float32)[:, :2]   # (128, 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (HB, 32, 128), 2)
+    return M, ER, lane
+
+
+def _packed_body(sp, r, w, k, ve, vo, a, b, out_ref, sT_ref, sT_idx=None):
+    """Shared packed-step math: sp (HB, 32, 128) f32, r/w/k/a/b (HB, 128)
+    tiled [x|x], ve/vo (HB, 32). Writes out (HB, 32, 2) and the new state."""
+    HB = sp.shape[0]
+    M, ER, lane = _packed_consts(HB)
+
+    def halfdot(t, m):
+        return jax.lax.dot_general(
+            t.reshape(HB * 32, 128), m,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    saexp = halfdot(sp * a[:, None, :], M).reshape(HB, 32, 128)
+    vexp = jnp.where(lane < 64, ve[:, :, None], vo[:, :, None])
+    s_new = (sp * w[:, None, :] + vexp * k[:, None, :]
+             + saexp * b[:, None, :])
+    if sT_idx is None:
+        sT_ref[...] = s_new.astype(sT_ref.dtype)
+    else:
+        sT_ref[sT_idx] = s_new.astype(sT_ref.dtype)
+    out_ref[...] = halfdot(s_new * r[:, None, :], ER).reshape(HB, 32, 2)
+
+
+def _wkv7_step_kernel_packed(r_ref, w_ref, k_ref, ve_ref, vo_ref, a_ref,
+                             b_ref, s0_ref, out_ref, sT_ref):
+    _packed_body(s0_ref[...].astype(jnp.float32), r_ref[...], w_ref[...],
+                 k_ref[...], ve_ref[...], vo_ref[...], a_ref[...], b_ref[...],
+                 out_ref, sT_ref)
+
+
+def _wkv7_step_kernel_packed_l(l_ref, r_ref, w_ref, k_ref, ve_ref, vo_ref,
+                               a_ref, b_ref, s0_ref, out_ref, sT_ref):
+    _packed_body(s0_ref[0].astype(jnp.float32), r_ref[...], w_ref[...],
+                 k_ref[...], ve_ref[...], vo_ref[...], a_ref[...], b_ref[...],
+                 out_ref, sT_ref, sT_idx=0)
+
+
+def _packed_operands(r, w, k, v, a, b):
+    t2 = lambda x: jnp.concatenate([x, x], axis=-1)      # (BH, 128) [x|x]
+    return t2(r), t2(w), t2(k), v[:, 0::2], v[:, 1::2], t2(a), t2(b)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv7_step_pallas_packed(r, w, k, v, a, b, state, head_block: int = 128):
+    """Lane-packed wkv7 decode step: r/w/k/v/a/b (BH, S=64) f32, state
+    (BH, S, S) (bf16 carry intended). Returns (out (BH, S) f32, new state).
+    ~1e-3-exact (MXU DEFAULT-precision reductions)."""
+    BH, S = r.shape
+    assert S == 64, "packed step kernel requires head size 64"
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    sp = state.reshape(BH, 32, 128)
+    vec = pl.BlockSpec((HB, 128), lambda h: (h, 0), memory_space=pltpu.VMEM)
+    vv = pl.BlockSpec((HB, 32), lambda h: (h, 0), memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((HB, 32, 128), lambda h: (h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ot = pl.BlockSpec((HB, 32, 2), lambda h: (h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    out, stf = pl.pallas_call(
+        _wkv7_step_kernel_packed,
+        grid=(BH // HB,),
+        in_specs=[vec] * 3 + [vv, vv] + [vec] * 2 + [st],
+        out_specs=[ot, st],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 32, 2), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 32, 128), state.dtype),
+        ],
+    )(*_packed_operands(r, w, k, v, a, b), sp)
+    return out.reshape(BH, S), stf.reshape(BH, S, S)
+
+
+@functools.partial(jax.jit, static_argnames=("head_block",))
+def wkv7_step_pallas_lstacked_packed(r, w, k, v, a, b, state, layer,
+                                     head_block: int = 128):
+    """Lane-packed twin of wkv7_step_pallas_lstacked: state (L, BH, S, S),
+    slot `layer` advanced IN PLACE (aliased)."""
+    BH, S = r.shape
+    assert S == 64, "packed step kernel requires head size 64"
+    L = state.shape[0]
+    HB = _step_head_block(head_block, BH, S, state.dtype)
+    sp = state.reshape(L, BH, 32, 128)
+    vec = pl.BlockSpec((HB, 128), lambda h, l: (h, 0), memory_space=pltpu.VMEM)
+    vv = pl.BlockSpec((HB, 32), lambda h, l: (h, 0), memory_space=pltpu.VMEM)
+    st = pl.BlockSpec((1, HB, 32, 128), lambda h, l: (l[0], h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    ot = pl.BlockSpec((HB, 32, 2), lambda h, l: (h, 0, 0),
+                      memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH // HB,),
+        in_specs=[vec] * 3 + [vv, vv] + [vec] * 2 + [st],
+        out_specs=[ot, st],
+    )
+    out, stf = pl.pallas_call(
+        _wkv7_step_kernel_packed_l,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, 32, 2), jnp.float32),
+            jax.ShapeDtypeStruct(sp.shape, state.dtype),
+        ],
+        # operand 0 is the scalar-prefetch layer index; state is operand 8
+        input_output_aliases={8: 1},
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      *_packed_operands(r, w, k, v, a, b), sp)
+    return out.reshape(BH, S), stf.reshape(state.shape)
+
+
+# MEASURED LOSS at model level (round 5, default off): isolated, the packed
+# kernels win (33 vs 44 us/call at BH=512, 60 vs 67 at BH=1024,
+# scratch/step_bench_r5.py) — but in the serving loop they LOSE 28%
+# (B=32 sampled 3,391 vs 4,697 tok/s, scratch/packed_ab_r5.py, interleaved
+# same-process A/B). The (L, BH, S, S) -> (L, BH, 32, 128) reshape around
+# the aliased pallas_call defeats the input/output state aliasing, so XLA
+# re-materializes the FULL stacked state every layer — exactly the
+# per-layer copy the L-stacked kernels exist to avoid (~110 us/layer at
+# B=32). A win would need the serving state carried in the packed layout
+# end-to-end; parked. Flip STEP_PACKED to re-measure.
+STEP_PACKED = False
+
+
+def _use_packed(state, S):
+    """The packed kernels trade ~1e-3 exactness (MXU DEFAULT-precision
+    reductions) for full-vreg VPU work — the same error class as the bf16
+    state carry, so they would dispatch only for bf16-carried states; see
+    STEP_PACKED above for why they are off by default."""
+    return STEP_PACKED and S == 64 and state.dtype == jnp.bfloat16
+
+
 # Round-5 step-kernel experiment (MEASURED LOSS — default off): the v1
 # kernels above move 8-10 separate BlockSpec streams per grid step; the v2
 # kernels stack the vectors into ONE (6, BH, S) operand, alias the state
@@ -260,7 +419,9 @@ def wkv7_step_batched_lstacked(r, w, k, v, a, b, state, layer,
     B, H, S = r.shape
     L = state.shape[0]
     fold = lambda x: x.reshape(B * H, *x.shape[2:])
-    out, stf = wkv7_step_pallas_lstacked(
+    fn = (wkv7_step_pallas_lstacked_packed if _use_packed(state, S)
+          else wkv7_step_pallas_lstacked)
+    out, stf = fn(
         fold(r), fold(w), fold(k), fold(v), fold(a), fold(b),
         state.reshape(L, B * H, S, S), layer, head_block=head_block)
     return out.reshape(B, H, S), stf.reshape(L, B, H, S, S)
@@ -337,7 +498,9 @@ def wkv7_step_batched(r, w, k, v, a, b, state, head_block: int = 128):
         out, st = wkv7_step_pallas_v2(vecs, fold(state),
                                       head_block=head_block)
         return out.reshape(B, H, S), st.reshape(B, H, S, S)
-    out, st = wkv7_step_pallas(
+    fn = (wkv7_step_pallas_packed if _use_packed(state, S)
+          else wkv7_step_pallas)
+    out, st = fn(
         fold(r), fold(w), fold(k), fold(v), fold(a), fold(b), fold(state),
         head_block=head_block,
     )

@@ -163,10 +163,12 @@ def _cast_heads(state, dtype):
     return dict(state, heads=state["heads"].astype(dtype))
 
 
-@partial(jax.jit, static_argnames=("cfg", "top_k", "steps", "state_bf16"))
+@partial(jax.jit, static_argnames=("cfg", "top_k", "steps", "state_bf16",
+                                   "unroll"))
 def serve_window(params, cfg, last_tok, state, counts, active,
                  temps, top_ps, presence, freq, bias, key, step0, steps: int,
-                 top_k: int = 512, state_bf16: bool = False):
+                 top_k: int = 512, state_bf16: bool = False,
+                 unroll: int = 1):
     """`steps` lockstep decode+sample steps in ONE dispatch (lax.scan over
     the serve_step body). Returns (toks (steps, B), state, counts).
 
@@ -197,8 +199,14 @@ def serve_window(params, cfg, last_tok, state, counts, active,
         step0 + jnp.arange(steps, dtype=jnp.int32))
     if state_bf16:
         state = _cast_heads(state, jnp.bfloat16)
+    # `unroll` mirrors the raw decode loop's step-window unroll (generate.py,
+    # +23% there) but measured only +1.6% here at B=32 (the sampled window's
+    # cross-step dependency chain runs through sampling, not just the state)
+    # at a 25x compile-time cost — so the default stays 1 (scratch/
+    # serve_ab_r5.py, round 5: 4,479 vs 4,550 tok/s, 21 s vs 554 s compile).
     (tok, state, counts), toks = jax.lax.scan(
-        body, (last_tok, state, counts), keys)
+        body, (last_tok, state, counts), keys,
+        unroll=max(1, min(unroll, steps)))
     if state_bf16:
         state = _cast_heads(state, jnp.float32)
     return toks, state, counts

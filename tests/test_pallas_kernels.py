@@ -377,3 +377,53 @@ def test_wkv56_step_kernel():
             out_pl, st_pl = pk.wkv56_step_batched(r, k, v, tf, w, s0)
         np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(st_pl), np.asarray(st_ref), atol=1e-5, rtol=1e-5)
+
+
+@cpu_interpret
+def test_wkv7_step_kernel_packed():
+    """Lane-packed step kernels ((BH, 32, 128) state view, MXU segmented
+    reductions) vs the jnp step: the plain and L-stacked packed forms match
+    on a bf16 carry (their dispatch regime), and the L-stacked form
+    preserves untouched slots bit-for-bit. In interpret mode the MXU dots
+    are exact f32, so the only rounding is the bf16 state carry itself."""
+    rng = np.random.default_rng(37)
+    B, H, S = 8, 4, 64
+    r, w, k, v, a, b = (jnp.asarray(rng.uniform(-1, 1, (B * H, S)),
+                                    jnp.float32) for _ in range(6))
+    w = jnp.exp(-0.6 * jax.nn.sigmoid(w))
+    s0 = jnp.asarray(rng.standard_normal((B * H, S, S)) * 0.1,
+                     jnp.float32).astype(jnp.bfloat16)
+    o_ref, s_ref = ref.wkv7_step(
+        r.reshape(B, H, S), w.reshape(B, H, S), k.reshape(B, H, S),
+        v.reshape(B, H, S), a.reshape(B, H, S), b.reshape(B, H, S),
+        s0.reshape(B, H, S, S).astype(jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        o_p, s_p = pk.wkv7_step_pallas_packed(r, w, k, v, a, b, s0)
+    assert s_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(o_p).reshape(B, H, S),
+                               np.asarray(o_ref), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(s_p.astype(jnp.float32)).reshape(B, H, S, S),
+        np.asarray(s_ref), atol=2e-2, rtol=2e-2)
+
+    L = 3
+    full = jnp.asarray(rng.standard_normal((L, B * H, S, S)) * 0.1,
+                       jnp.float32).astype(jnp.bfloat16)
+    for l in (0, 2):
+        o_ref, s_ref = ref.wkv7_step(
+            r.reshape(B, H, S), w.reshape(B, H, S), k.reshape(B, H, S),
+            v.reshape(B, H, S), a.reshape(B, H, S), b.reshape(B, H, S),
+            full[l].reshape(B, H, S, S).astype(jnp.float32))
+        with pltpu.force_tpu_interpret_mode():
+            o, stf = pk.wkv7_step_pallas_lstacked_packed(
+                r, w, k, v, a, b, full, l)
+        assert stf.shape == full.shape and stf.dtype == full.dtype
+        np.testing.assert_allclose(np.asarray(o).reshape(B, H, S),
+                                   np.asarray(o_ref), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(stf[l].astype(jnp.float32)).reshape(B, H, S, S),
+            np.asarray(s_ref), atol=2e-2, rtol=2e-2)
+        for j in range(L):
+            if j != l:
+                assert np.array_equal(np.asarray(stf[j]),
+                                      np.asarray(full[j])), j
