@@ -263,9 +263,15 @@ def main():
 
     bhs = [int(x) for x in sys.argv[1:]] or [512, 1024, 4096, 8192]
     for BH in bhs:
+        run(BH, "copy-only (DMA+grid floor)",
+            lambda *a: step_variant(*a, kernel="copy"))
         run(BH, "v1 f32 HB=128 (prod)", lambda *a: step_variant(*a))
+        run(BH, "v1 + alias", lambda *a: step_variant(*a, alias=True))
+        run(BH, "oldstate (1 MXU dot)",
+            lambda *a: step_variant(*a, kernel="oldstate"))
+        run(BH, "oldstate + alias",
+            lambda *a: step_variant(*a, kernel="oldstate", alias=True))
         run(BH, "packed HB=128", lambda *a: step_packed(*a))
-        run(BH, "packed HB=256", lambda *a: step_packed(*a, head_block=256))
         # bf16 interior: Mosaic rejects the bf16 [:, None, :] shape cast
         # (vector<128x64xbf16> -> 128x1x64) — dead end, f32 interior only
 
